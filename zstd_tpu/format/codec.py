@@ -1,0 +1,45 @@
+"""Top-level one-shot codec: multi-frame compress/decompress.
+
+API parity: ZSTD_compress / ZSTD_decompress
+(/root/reference/lib/compress/zstd_compress.c:5423,
+/root/reference/lib/decompress/zstd_decompress.c:1201 →
+ZSTD_decompressMultiFrame:1068).
+"""
+
+from __future__ import annotations
+
+from ..constants import WINDOWLOG_LIMIT_DEFAULT, ZSTD_MAGIC
+from ..errors import ZstdError, ZstdErrorCode
+from ..params import get_cparams
+from .frame import compress_frame, decompress_frame, is_skippable
+
+
+def compress(data: bytes, level: int = 3, checksum: bool = False,
+             window_log: int | None = None) -> bytes:
+    """One-shot compression into a single zstd frame."""
+    cparams = get_cparams(level, len(data))
+    if window_log is not None:
+        import dataclasses
+        cparams = dataclasses.replace(cparams, window_log=window_log)
+    return compress_frame(data, cparams, checksum=checksum)
+
+
+def decompress(data: bytes,
+               window_log_max: int = WINDOWLOG_LIMIT_DEFAULT) -> bytes:
+    """One-shot decompression of all concatenated frames (incl. skippable)."""
+    out = bytearray()
+    pos = 0
+    if len(data) == 0:
+        raise ZstdError(ZstdErrorCode.srcSize_wrong, "empty input")
+    while pos < len(data):
+        if is_skippable(data, pos):
+            if pos + 8 > len(data):
+                raise ZstdError(ZstdErrorCode.srcSize_wrong, "truncated skippable frame")
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            if pos + 8 + size > len(data):
+                raise ZstdError(ZstdErrorCode.srcSize_wrong, "truncated skippable frame")
+            pos += 8 + size
+            continue
+        content, pos = decompress_frame(data, pos, window_log_max)
+        out += content
+    return bytes(out)
