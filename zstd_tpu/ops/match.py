@@ -1,0 +1,188 @@
+"""Batched match finding on device: propose (parallel) + resolve (log-parallel).
+
+TPU-native replacement for the reference's serial per-position loop
+(/root/reference/lib/compress/zstd_fast.c:192). Decomposition:
+
+1. `hash_positions`  — vectorized rolling hash of every position (VPU).
+2. `prev_same_bucket` — most recent earlier position in the same hash bucket,
+   via one batched sort (the dense equivalent of a fully-updated hash table).
+3. `match_lengths`   — forward match length for every (pos, candidate) pair by
+   iterative chunk compares (gathers).
+4. `greedy_resolve`  — the greedy left-to-right commit computed WITHOUT a
+   serial scan: next[i] = i + (take ? len : 1) forms a functional graph; the
+   committed set is the orbit of 0, found by pointer doubling in ceil(log2 n)
+   rounds of gathers + scatters.
+
+The host oracle (zstd_tpu.format.matchfinder with tpu_semantics) implements
+the same algorithm serially; seqstores must match exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MIN_MATCH_EMIT = 4  # we only emit matches >= 4 (repcode-free resolve)
+
+_P1 = np.uint32(2654435761)
+_P2 = np.uint32(2246822519)
+
+
+def hash_positions(block: jax.Array, hash_log: int, mls: int) -> jax.Array:
+    """block: uint8[n]. Returns uint32[n] bucket ids (hash of mls bytes).
+
+    Uses two u32 lane loads (bytes 0-3 and 4-7 masked to mls) mixed with
+    Knuth/xxh32 primes — u32-only so it runs without x64 mode; the host
+    oracle uses the identical function (numpy) for exact equivalence.
+    """
+    n = block.shape[0]
+    b = block.astype(jnp.uint32)
+
+    def load4(off):
+        parts = []
+        for k in range(4):
+            idx = jnp.minimum(jnp.arange(n) + off + k, n - 1)
+            parts.append(b[idx] << np.uint32(8 * k))
+        return functools.reduce(jnp.bitwise_or, parts)
+
+    lo = load4(0)
+    hi = load4(4)
+    keep = max(0, min(mls, 8) - 4)
+    if keep == 0:
+        hi = jnp.zeros_like(hi)
+    elif keep < 4:
+        hi = hi & np.uint32((1 << (8 * keep)) - 1)
+    h = lo * _P1 ^ hi * _P2
+    return h >> np.uint32(32 - hash_log)
+
+
+def prev_same_bucket(h: jax.Array, valid_len: jax.Array) -> jax.Array:
+    """int32[n]: largest j < i with h[j] == h[i] (both < valid_len), else -1."""
+    n = h.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # push invalid tail positions into a reserved bucket
+    hv = jnp.where(pos < valid_len, h, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(hv, stable=True).astype(jnp.int32)
+    h_sorted = hv[order]
+    same = h_sorted[1:] == h_sorted[:-1]
+    prev_sorted = jnp.where(same, order[:-1], -1)
+    prev = jnp.zeros(n, dtype=jnp.int32).at[order[1:]].set(prev_sorted)
+    prev = prev.at[order[0]].set(-1)
+    return jnp.where(pos < valid_len, prev, -1)
+
+
+def match_lengths(block: jax.Array, cand: jax.Array, valid_len: jax.Array,
+                  max_rounds: int = 24, chunk: int = 16) -> jax.Array:
+    """int32[n] forward match length between pos i and cand[i] (0 if cand<0
+    or first 4 bytes differ). Capped at valid_len - i and chunk*max_rounds."""
+    n = block.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    limit = jnp.maximum(valid_len - pos, 0)
+    has_cand = cand >= 0
+    c = jnp.maximum(cand, 0)
+
+    def gather_eq_run(a_off, b_off, width):
+        """Number of equal leading bytes in block[a_off:a_off+width] vs b_off."""
+        run = jnp.zeros(n, dtype=jnp.int32)
+        still = jnp.ones(n, dtype=jnp.bool_)
+        for k in range(width):
+            ia = jnp.minimum(a_off + k, n - 1)
+            ib = jnp.minimum(b_off + k, n - 1)
+            in_range = (a_off + k) < valid_len
+            eq = (block[ia] == block[ib]) & in_range
+            still = still & eq
+            run = run + still.astype(jnp.int32)
+        return run
+
+    first4 = gather_eq_run(pos, c, 4)
+    matched = has_cand & (first4 >= 4)
+
+    mlen = jnp.where(matched, 4, 0).astype(jnp.int32)
+    active = matched
+
+    def body(state):
+        mlen, active, rounds, _ = state
+        run = gather_eq_run(pos + mlen, c + mlen, chunk)
+        run = jnp.where(active, run, 0)
+        mlen = mlen + run
+        rounds = rounds + 1
+        active = active & (run == chunk) & (rounds < max_rounds)
+        return mlen, active, rounds, jnp.any(active)
+
+    def cond(state):
+        return state[3]
+
+    mlen, _, _, _ = jax.lax.while_loop(
+        cond, body, (mlen, active, jnp.int32(0), jnp.any(active)))
+    mlen = jnp.minimum(mlen, limit)
+    return jnp.where(matched, mlen, 0)
+
+
+def backward_extension(block: jax.Array, cand: jax.Array,
+                       max_back: int = 16) -> jax.Array:
+    """int32[n]: how far (pos, cand) match extends backwards (bounded)."""
+    n = block.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    c = jnp.maximum(cand, 0)
+    ext = jnp.zeros(n, dtype=jnp.int32)
+    still = cand >= 0
+    for k in range(1, max_back + 1):
+        ia = jnp.maximum(pos - k, 0)
+        ib = jnp.maximum(c - k, 0)
+        ok = still & (pos - k >= 0) & (c - k >= 0) & (block[ia] == block[ib])
+        ext = ext + ok.astype(jnp.int32)
+        still = ok
+    return ext
+
+
+def greedy_resolve(take_len: jax.Array, valid_len: jax.Array,
+                   n_log2: int) -> jax.Array:
+    """Committed-position mask of the greedy scan, via pointer doubling.
+
+    take_len[i]: match length the greedy would take at i (0 => advance 1).
+    Returns bool[n] mask of positions the scan visits AND takes a match at.
+    """
+    n = take_len.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    take = take_len >= MIN_MATCH_EMIT
+    step = jnp.where(take, take_len, 1)
+    nxt = jnp.minimum(pos + step, n)  # n == terminal sink
+
+    # reachable-from-0 via pointer doubling over the functional graph
+    reach = jnp.zeros(n + 1, dtype=jnp.bool_).at[0].set(True)
+    jump = jnp.concatenate([nxt, jnp.array([n], dtype=jnp.int32)])
+
+    def body(_, state):
+        reach, jump = state
+        targets = jump  # where each node goes after 2^k steps
+        add = jnp.zeros(n + 1, dtype=jnp.bool_).at[targets].max(reach)
+        reach = reach | add
+        jump = jump[jump]
+        return reach, jump
+
+    reach, _ = jax.lax.fori_loop(0, n_log2 + 1, body, (reach, jump))
+    visited = reach[:n] & (pos < valid_len)
+    return visited & take
+
+
+def find_matches_block(block: jax.Array, valid_len: jax.Array,
+                       hash_log: int, mls: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Full propose+resolve for one (padded) block.
+
+    Returns (committed mask bool[n], match_len int32[n], cand int32[n]).
+    Sequence extraction (mask -> compacted seqstore) happens in the caller.
+    """
+    n = block.shape[0]
+    # positions too close to the end never start a match (tail literal margin)
+    margin = 8
+    h = hash_positions(block, hash_log, mls)
+    cand = prev_same_bucket(h, valid_len)
+    mlen = match_lengths(block, cand, valid_len)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    mlen = jnp.where(pos < valid_len - margin, mlen, 0)
+    n_log2 = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    committed = greedy_resolve(mlen, valid_len, n_log2)
+    return committed, mlen, cand

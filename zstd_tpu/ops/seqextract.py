@@ -1,0 +1,104 @@
+"""Compacting the committed-match mask into a fixed-capacity SoA seqstore,
+and gathering literals — all on device with static shapes.
+
+Output layout per block (capacity SEQ_CAP = n//4):
+  seq_pos[s], seq_len[s], seq_off[s]  — committed matches in position order
+  nb_seq                               — number of valid entries
+  lit_mask / literal gather indices    — bytes not covered by any match
+
+Corresponds to the reference's seqStore fill (ZSTD_storeSeq,
+/root/reference/lib/compress/zstd_compress_internal.h:671) but produced by
+parallel compaction instead of serial appends.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .match import backward_extension, find_matches_block
+
+
+def extract_block(block: jax.Array, valid_len: jax.Array, hash_log: int,
+                  mls: int, seq_cap: int):
+    """Run match finding + compaction for one padded block.
+
+    Returns dict of device arrays:
+      nb_seq: int32 scalar
+      ll, off, ml: int32[seq_cap]   (litLength, raw offset, matchLength)
+      lit_idx: int32[n]  gather indices for literal bytes (padded with n-1)
+      nb_lit: int32 scalar
+    """
+    n = block.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    committed, mlen, cand = find_matches_block(block, valid_len, hash_log, mls)
+
+    # --- backward extension of committed matches ---------------------------
+    back = backward_extension(block, cand)
+    # prev committed end: for each committed position p with length l, the
+    # next committed position p' must not extend back past p + l.
+    take_len = jnp.where(committed, mlen, 0)
+    # end of the match covering/preceding each position, as running max
+    ends = jnp.where(committed, pos + take_len, 0)
+    prev_end_incl = jax.lax.associative_scan(jnp.maximum, ends)  # inclusive
+    prev_end = jnp.concatenate([jnp.zeros(1, jnp.int32), prev_end_incl[:-1]])
+    ext = jnp.minimum(back, jnp.maximum(pos - prev_end, 0))
+    ext = jnp.where(committed, ext, 0)
+
+    start = pos - ext                     # extended match start
+    length = take_len + ext               # extended match length
+    offset = pos - cand                   # unchanged by extension
+
+    # --- compact committed entries -----------------------------------------
+    seq_rank = jnp.cumsum(committed.astype(jnp.int32)) - 1
+    nb_seq = jnp.sum(committed.astype(jnp.int32))
+    idx = jnp.where(committed, seq_rank, seq_cap)  # overflow slot dropped
+    seq_start = jnp.zeros(seq_cap + 1, jnp.int32).at[idx].set(start, mode="drop")
+    seq_len = jnp.zeros(seq_cap + 1, jnp.int32).at[idx].set(length, mode="drop")
+    seq_off = jnp.zeros(seq_cap + 1, jnp.int32).at[idx].set(
+        jnp.where(committed, offset, 0), mode="drop")
+    seq_start = seq_start[:seq_cap]
+    seq_len = seq_len[:seq_cap]
+    seq_off = seq_off[:seq_cap]
+
+    # literal lengths: gap between previous match end and this match start
+    s_rank = jnp.arange(seq_cap, dtype=jnp.int32)
+    prev_match_end = jnp.where(
+        s_rank == 0, 0,
+        jnp.roll(seq_start + seq_len, 1))
+    ll = seq_start - prev_match_end
+    valid_seq = s_rank < nb_seq
+    ll = jnp.where(valid_seq, ll, 0)
+    ml = jnp.where(valid_seq, seq_len, 0)
+    off = jnp.where(valid_seq, seq_off, 0)
+
+    # --- literal byte gather -------------------------------------------------
+    covered_delta = jnp.zeros(n + 1, jnp.int32)
+    covered_delta = covered_delta.at[start].add(
+        jnp.where(committed, 1, 0), mode="drop")
+    covered_delta = covered_delta.at[start + length].add(
+        jnp.where(committed, -1, 0), mode="drop")
+    covered = jnp.cumsum(covered_delta[:n]) > 0
+    is_lit = (~covered) & (pos < valid_len)
+    nb_lit = jnp.sum(is_lit.astype(jnp.int32))
+    lit_rank = jnp.cumsum(is_lit.astype(jnp.int32)) - 1
+    lit_idx = jnp.full(n, n - 1, dtype=jnp.int32)
+    lit_idx = lit_idx.at[jnp.where(is_lit, lit_rank, n)].set(pos, mode="drop")
+
+    return {
+        "nb_seq": nb_seq,
+        "ll": ll,
+        "off": off,
+        "ml": ml,
+        "lit_idx": lit_idx,
+        "nb_lit": nb_lit,
+        "overflow": nb_seq > seq_cap,
+    }
+
+
+def extract_batch(blocks: jax.Array, valid_lens: jax.Array, hash_log: int,
+                  mls: int, seq_cap: int):
+    """vmapped extract over B blocks: blocks uint8[B, n]."""
+    fn = jax.vmap(lambda b, v: extract_block(b, v, hash_log, mls, seq_cap))
+    return fn(blocks, valid_lens)
