@@ -259,12 +259,24 @@ class FseEntropyState:
                                self.ll_repeat, self.of_repeat, self.ml_repeat)
 
 
-def write_sequences_section(seqs: SeqStore, prev: FseEntropyState,
-                            strategy: int) -> tuple[bytes, FseEntropyState]:
-    """Serialize nbSeq header + modes + tables + bitstream; returns the bytes
-    and the next entropy state. Mirrors ZSTD_entropyCompressSeqStore_internal
-    (sequences part) including the <=1.3.4 lastCountSize workaround."""
-    n = seqs.nb_seq
+def seq_to_codes_np(ll: np.ndarray, ob: np.ndarray, mlb: np.ndarray
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized numpy code conversion (exact for values < 2^53)."""
+    def hb(x):
+        return (np.frexp(x.astype(np.float64))[1] - 1).astype(np.int32)
+    ll = np.asarray(ll, dtype=np.int64)
+    ob = np.asarray(ob, dtype=np.int64)
+    mlb = np.asarray(mlb, dtype=np.int64)
+    from ..constants import _LL_CODE_TABLE, _ML_CODE_TABLE
+    llc = np.where(ll > 63, hb(np.maximum(ll, 1)) + 19,
+                   _LL_CODE_TABLE[np.minimum(ll, 63)])
+    mlc = np.where(mlb > 127, hb(np.maximum(mlb, 1)) + 36,
+                   _ML_CODE_TABLE[np.minimum(mlb, 127)])
+    ofc = hb(ob)
+    return llc.astype(np.int32), ofc.astype(np.int32), mlc.astype(np.int32)
+
+
+def write_nbseq_header(n: int) -> bytes:
     out = bytearray()
     if n < 128:
         out.append(n)
@@ -274,11 +286,19 @@ def write_sequences_section(seqs: SeqStore, prev: FseEntropyState,
     else:
         out.append(0xFF)
         out += (n - LONGNBSEQ).to_bytes(2, "little")
-    nxt = prev.copy()
-    if n == 0:
-        return bytes(out), nxt
+    return bytes(out)
 
-    llc, ofc, mlc = seq_to_codes(seqs)
+
+def build_sequences_header(llc: np.ndarray, ofc: np.ndarray, mlc: np.ndarray,
+                           nb_seq: int, prev: FseEntropyState, strategy: int
+                           ) -> tuple[bytes, FseEntropyState, int]:
+    """Header+tables (no bitstream): returns (bytes, next state,
+    last_count_size). Shared by the host encoder and the TPU pipeline."""
+    out = bytearray(write_nbseq_header(nb_seq))
+    nxt = prev.copy()
+    if nb_seq == 0:
+        return bytes(out), nxt, 0
+    n = nb_seq
     last_count_size = 0
 
     # LL
@@ -325,14 +345,26 @@ def write_sequences_section(seqs: SeqStore, prev: FseEntropyState,
     out += ll_hdr
     out += of_hdr
     out += ml_hdr
+    return bytes(out), nxt, last_count_size
 
+
+def write_sequences_section(seqs: SeqStore, prev: FseEntropyState,
+                            strategy: int) -> tuple[bytes, FseEntropyState]:
+    """Serialize nbSeq header + modes + tables + bitstream; returns the bytes
+    and the next entropy state. Mirrors ZSTD_entropyCompressSeqStore_internal
+    (sequences part) including the <=1.3.4 lastCountSize workaround."""
+    n = seqs.nb_seq
+    if n == 0:
+        return write_nbseq_header(0), prev.copy()
+    llc, ofc, mlc = seq_to_codes(seqs)
+    header, nxt, last_count_size = build_sequences_header(
+        llc, ofc, mlc, n, prev, strategy)
     bitstream = encode_sequences(seqs, llc, ofc, mlc,
                                  nxt.ct_ll, nxt.ct_of, nxt.ct_ml)
-    out += bitstream
     if last_count_size and (last_count_size + len(bitstream)) < 4:
         # zstd <=1.3.4 decoder bug workaround: signal caller to emit raw block
         raise _EmitRawBlock()
-    return bytes(out), nxt
+    return header + bitstream, nxt
 
 
 class _EmitRawBlock(Exception):
