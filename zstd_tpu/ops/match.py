@@ -153,7 +153,10 @@ def greedy_resolve(take_len: jax.Array, valid_len: jax.Array,
 
     # reachable-from-0 via pointer doubling over the functional graph
     reach = jnp.zeros(n + 1, dtype=jnp.bool_).at[0].set(True)
+    # derive from input so the carry is axis-varying under shard_map
+    reach = reach | (take_len[0] < 0)
     jump = jnp.concatenate([nxt, jnp.array([n], dtype=jnp.int32)])
+    jump = jump + (take_len[0] & 0)
 
     def body(_, state):
         reach, jump = state

@@ -1,0 +1,11 @@
+"""Distributed execution: mesh construction + sharded block compression.
+
+The reference's parallelism is thread-level (zstdmt job sharding within a
+frame, /root/reference/lib/compress/zstdmt_compress.c; pzstd frame sharding
+across files, /root/reference/contrib/pzstd). The TPU-native equivalents:
+
+- blocks of one frame shard across chips over a `dp` mesh axis (zstdmt analog)
+- per-shard compressed lengths are exchanged with an all_gather; the ordered
+  stitch (ZSTDMT_flushProduced analog) is an ordered concatenation on host
+- frames shard across hosts (pzstd analog) via jax.distributed
+"""

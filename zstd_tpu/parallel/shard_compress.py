@@ -1,0 +1,74 @@
+"""Sharded block compression over a device mesh.
+
+Maps the zstdmt job model (SURVEY.md §2.7) onto a `dp` mesh axis: every
+device owns a contiguous run of 128 KiB blocks of the frame, runs the full
+extract + entropy-pack pipeline on them, and contributes its compressed bit
+counts to an all_gather so every participant knows the output layout
+(the ordered-stitch metadata). Blocks are independent in the TPU pipeline
+(block-local window), so the sharding is exact — no halo needed until the
+windowed/dfast paths land (then: ppermute of the previous block's tail).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.seqextract import extract_batch
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def sharded_extract_fn(mesh: Mesh, hash_log: int, mls: int, seq_cap: int,
+                       axis: str = "dp"):
+    """Returns a jitted fn: (blocks[B, n], lens[B]) -> per-block seqstore
+    arrays + per-shard compressed-work summary, with B sharded over `axis`.
+
+    Uses shard_map so the collective structure is explicit: the all_gather of
+    per-shard sequence counts mirrors zstdmt's ordered flush bookkeeping.
+    """
+
+    def per_shard(blocks, lens):
+        res = extract_batch(blocks, lens, hash_log, mls, seq_cap)
+        lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
+        # per-shard totals, exchanged so every shard knows the global layout
+        # (one-hot + psum == ordered all-gather, and yields a replicated
+        # result the partitioner can verify)
+        idx = jax.lax.axis_index(axis)
+        nsh = jax.lax.axis_size(axis)
+        onehot = (jnp.arange(nsh, dtype=jnp.int32) == idx).astype(jnp.int32)
+        all_seqs = jax.lax.psum(onehot * jnp.sum(res["nb_seq"]), axis)
+        all_lits = jax.lax.psum(onehot * jnp.sum(res["nb_lit"]), axis)
+        return dict(nb_seq=res["nb_seq"], ll=res["ll"], off=res["off"],
+                    ml=res["ml"], nb_lit=res["nb_lit"], lits=lits,
+                    shard_seq_totals=all_seqs, shard_lit_totals=all_lits)
+
+    shard = jax.shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=dict(nb_seq=P(axis), ll=P(axis, None), off=P(axis, None),
+                       ml=P(axis, None), nb_lit=P(axis), lits=P(axis, None),
+                       shard_seq_totals=P(None), shard_lit_totals=P(None)),
+    )
+    return jax.jit(shard)
+
+
+def compress_step(mesh: Mesh, blocks: np.ndarray, lens: np.ndarray,
+                  hash_log: int = 13, mls: int = 6, axis: str = "dp"):
+    """One sharded compression step over the mesh (used by dryrun + tests)."""
+    b, n = blocks.shape
+    seq_cap = max(n // 4, 8)
+    fn = sharded_extract_fn(mesh, hash_log, mls, seq_cap, axis)
+    sharding = NamedSharding(mesh, P(axis, None))
+    blocks_d = jax.device_put(jnp.asarray(blocks), sharding)
+    lens_d = jax.device_put(jnp.asarray(lens), NamedSharding(mesh, P(axis)))
+    return fn(blocks_d, lens_d)
