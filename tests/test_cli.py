@@ -1,0 +1,103 @@
+"""CLI behavior tests (playTests.sh / cli-tests analog)."""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tests.conftest import gen_text
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(args, data=b"", check=True):
+    env = dict(os.environ, JAX_PLATFORM_NAME="cpu", PYTHONPATH=REPO)
+    return subprocess.run([sys.executable, "-m", "zstd_tpu.cli",
+                           "--engine", "host", *args],
+                          input=data, capture_output=True, env=env,
+                          check=check)
+
+
+def test_version():
+    r = run_cli(["-V"])
+    assert b"zstd_tpu" in r.stdout
+
+
+def test_pipe_roundtrip():
+    data = gen_text(50000)
+    c = run_cli(["-c", "-1"], data).stdout
+    d = run_cli(["-dc"], c).stdout
+    assert d == data
+
+
+def test_file_roundtrip(tmp_path):
+    data = gen_text(30000, seed=2)
+    f = tmp_path / "input.txt"
+    f.write_bytes(data)
+    run_cli(["-q", str(f)])
+    assert (tmp_path / "input.txt.zst").exists()
+    run_cli(["-d", "-f", "-o", str(tmp_path / "restored"),
+             str(tmp_path / "input.txt.zst")])
+    assert (tmp_path / "restored").read_bytes() == data
+
+
+def test_no_overwrite_without_force(tmp_path):
+    data = gen_text(1000, seed=3)
+    f = tmp_path / "x"
+    f.write_bytes(data)
+    (tmp_path / "x.zst").write_bytes(b"existing")
+    r = run_cli([str(f)], check=False)
+    assert r.returncode != 0
+    assert (tmp_path / "x.zst").read_bytes() == b"existing"
+
+
+def test_test_mode(tmp_path):
+    data = gen_text(20000, seed=4)
+    c = run_cli(["-c", "-3"], data).stdout
+    f = tmp_path / "a.zst"
+    f.write_bytes(c)
+    r = run_cli(["-t", str(f)])
+    assert r.returncode == 0
+    # corrupted file must fail
+    f.write_bytes(c[:50] + b"\xff\xff\xff\xff" + c[54:])
+    r = run_cli(["-t", str(f)], check=False)
+    assert r.returncode != 0
+
+
+def test_list(tmp_path):
+    data = gen_text(40000, seed=5)
+    c = run_cli(["-c", "--check"], data).stdout
+    f = tmp_path / "a.zst"
+    f.write_bytes(c)
+    r = run_cli(["-l", str(f)])
+    out = r.stdout.decode()
+    assert "XXH64" in out
+    assert "40000" in out
+
+
+def test_train_and_use(tmp_path):
+    from tests.test_dictionary import make_samples
+    samples = make_samples(40, seed=11)
+    sdir = tmp_path / "s"
+    sdir.mkdir()
+    for i, s in enumerate(samples):
+        (sdir / f"f{i}").write_bytes(s)
+    dict_file = tmp_path / "dict"
+    run_cli(["--train", *[str(p) for p in sdir.iterdir()],
+             "-o", str(dict_file), "--maxdict", "2048"])
+    assert dict_file.exists()
+    data = samples[0]
+    c = run_cli(["-c", "-D", str(dict_file)], data).stdout
+    d = run_cli(["-dc", "-D", str(dict_file)], c).stdout
+    assert d == data
+
+
+def test_decompress_reference_output_via_cli(ref):
+    from tests.conftest import ref_compress
+    data = gen_text(60000, seed=6)
+    blob = ref_compress(data, "-19")
+    d = run_cli(["-dc"], blob).stdout
+    assert d == data

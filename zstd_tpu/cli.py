@@ -1,0 +1,273 @@
+"""zstd-compatible command line interface.
+
+Parity target: /root/reference/programs/zstdcli.c:831 (operation modes
+compress/decompress/test/bench/train/list, multi-personality names, common
+flags) and fileio.c behaviors (suffix handling, stdout rules, --rm, -f, -k).
+Engine selection: TPU pipeline for compression when a TPU/accelerator backend
+is available (or forced via --engine), host oracle otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _err(msg: str) -> None:
+    print(f"zstd: {msg}", file=sys.stderr)
+
+
+def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog=prog, add_help=False,
+        description="zstd_tpu: TPU-native Zstandard CLI")
+    p.add_argument("files", nargs="*", help="files to process")
+    p.add_argument("-h", "--help", action="store_true", dest="show_help")
+    p.add_argument("-V", "--version", action="store_true")
+    p.add_argument("-d", "--decompress", action="store_true")
+    p.add_argument("-z", "--compress", action="store_true")
+    p.add_argument("-t", "--test", action="store_true")
+    p.add_argument("-b", dest="bench", nargs="?", const=3, type=int,
+                   metavar="#", help="benchmark file(s) at level #")
+    p.add_argument("--train", action="store_true")
+    p.add_argument("-l", "--list", action="store_true")
+    p.add_argument("-o", dest="output", metavar="FILE")
+    p.add_argument("-c", "--stdout", action="store_true")
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("-k", "--keep", action="store_true", default=True)
+    p.add_argument("--rm", action="store_true")
+    p.add_argument("-q", "--quiet", action="count", default=0)
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-D", dest="dictionary", metavar="DICT")
+    p.add_argument("--maxdict", type=int, default=112640)
+    p.add_argument("--dictID", type=int, default=0)
+    p.add_argument("-T", "--threads", type=int, default=0, metavar="#")
+    p.add_argument("--long", nargs="?", const=27, type=int, metavar="windowLog")
+    p.add_argument("--no-check", action="store_true")
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--engine", choices=["auto", "tpu", "host"], default="auto")
+    p.add_argument("--memory", type=int, default=None,
+                   help="decompression memory limit (windowLog cap)")
+    for lvl in range(1, 23):
+        p.add_argument(f"-{lvl}", dest="level", action="store_const",
+                       const=lvl, help=argparse.SUPPRESS)
+    p.add_argument("--fast", nargs="?", const=1, type=int, metavar="#")
+    p.add_argument("--ultra", action="store_true")
+    p.set_defaults(level=None)
+    return p
+
+
+def _pick_engine(args) -> str:
+    if args.engine != "auto":
+        return args.engine
+    try:
+        import jax
+        plat = jax.devices()[0].platform
+        return "tpu" if plat not in ("cpu",) else "host"
+    except Exception:
+        return "host"
+
+
+def _compress_bytes(data: bytes, args) -> bytes:
+    level = args.level if args.level is not None else 3
+    if args.fast is not None:
+        level = -args.fast
+    checksum = not args.no_check
+    engine = _pick_engine(args)
+    if engine == "tpu" and level <= 2 and args.dictionary is None:
+        from . import pipeline
+        return pipeline.compress(data, level=max(level, 1), checksum=checksum)
+    import zstd_tpu
+    if args.dictionary:
+        from .dictionary import load_dictionary, compress_with_dict
+        d = load_dictionary(open(args.dictionary, "rb").read())
+        return compress_with_dict(data, d, level=level, checksum=checksum)
+    window_log = args.long if args.long else None
+    return zstd_tpu.compress(data, level=level, checksum=checksum,
+                             window_log=window_log)
+
+
+def _decompress_bytes(data: bytes, args) -> bytes:
+    import zstd_tpu
+    wlog_max = args.memory if args.memory else (args.long if args.long else 27)
+    if args.dictionary:
+        from .dictionary import load_dictionary, decompress_with_dict
+        d = load_dictionary(open(args.dictionary, "rb").read())
+        return decompress_with_dict(data, d, window_log_max=wlog_max)
+    return zstd_tpu.decompress(data, window_log_max=wlog_max)
+
+
+def _out_name_compress(name: str) -> str:
+    return name + ".zst"
+
+
+def _out_name_decompress(name: str) -> str:
+    for suf in (".zst", ".zstd"):
+        if name.endswith(suf):
+            return name[: -len(suf)]
+    return name + ".out"
+
+
+def _do_list(files, args) -> int:
+    from .format.frame import parse_frame_header, is_skippable
+    from .constants import ZSTD_MAGIC
+    print(f"{'Frames':>6} {'Skips':>5} {'Compressed':>12} "
+          f"{'Uncompressed':>13} {'Ratio':>6} {'Check':>5} Filename")
+    rc = 0
+    for f in files:
+        try:
+            data = open(f, "rb").read()
+        except OSError as e:
+            _err(str(e))
+            rc = 1
+            continue
+        pos = frames = skips = 0
+        total_unc = 0
+        known = True
+        check = "None"
+        try:
+            while pos < len(data):
+                if is_skippable(data, pos):
+                    size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+                    pos += 8 + size
+                    skips += 1
+                    continue
+                hdr = parse_frame_header(data[pos:], 31)
+                frames += 1
+                if hdr.checksum_flag:
+                    check = "XXH64"
+                if hdr.frame_content_size is None:
+                    known = False
+                else:
+                    total_unc += hdr.frame_content_size
+                # walk blocks to find frame end
+                p = pos + hdr.header_size
+                last = False
+                while not last:
+                    bh = int.from_bytes(data[p : p + 3], "little")
+                    last = bool(bh & 1)
+                    btype = (bh >> 1) & 3
+                    bsize = bh >> 3
+                    p += 3 + (1 if btype == 1 else bsize)
+                if hdr.checksum_flag:
+                    p += 4
+                pos = p
+        except Exception as e:
+            _err(f"{f}: could not parse: {e}")
+            rc = 1
+            continue
+        unc = str(total_unc) if known else "unknown"
+        ratio = f"{total_unc / len(data):.3f}" if known and len(data) else "-"
+        print(f"{frames:>6} {skips:>5} {len(data):>12} {unc:>13} "
+              f"{ratio:>6} {check:>5} {f}")
+    return rc
+
+
+def _do_bench(files, args) -> int:
+    level = args.bench if args.bench is not None else 3
+    for f in files:
+        data = open(f, "rb").read()
+        t0 = time.time()
+        blob = _compress_bytes(data, args)
+        ct = time.time() - t0
+        t0 = time.time()
+        out = _decompress_bytes(blob, args)
+        dt = time.time() - t0
+        assert out == data, "round-trip mismatch"
+        print(f"{os.path.basename(f):>20} :{len(data):>9} -> {len(blob):>9} "
+              f"({len(data)/len(blob):6.3f}), {len(data)/ct/1e6:6.1f} MB/s, "
+              f"{len(data)/dt/1e6:6.1f} MB/s")
+    return 0
+
+
+def _do_train(files, args) -> int:
+    from .dict_builder.fastcover import train_from_samples
+    from .dict_builder.zdict import finalize_dictionary
+    samples = [open(f, "rb").read() for f in files]
+    if not samples:
+        _err("no training files")
+        return 1
+    raw = train_from_samples(samples, max_dict_size=args.maxdict)
+    dict_bytes = finalize_dictionary(raw, samples, dict_id=args.dictID,
+                                     level=args.level or 3)
+    out = args.output or "dictionary"
+    with open(out, "wb") as fh:
+        fh.write(dict_bytes)
+    if not args.quiet:
+        print(f"Save dictionary of size {len(dict_bytes)} into file {out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    prog = os.path.basename(sys.argv[0]) if sys.argv else "zstd"
+    parser = build_parser(prog)
+    args = parser.parse_args(argv)
+
+    # multi-personality (zstdcli.c:913-927)
+    if prog in ("unzstd", "zstdcat"):
+        args.decompress = True
+    if prog == "zstdcat":
+        args.stdout = True
+
+    if args.show_help:
+        parser.print_help()
+        return 0
+    if args.version:
+        from . import __version__
+        print(f"*** zstd_tpu (TPU-native Zstandard) v{__version__} ***")
+        return 0
+    if args.list:
+        return _do_list(args.files, args)
+    if args.bench is not None:
+        args.level = args.bench
+        return _do_bench(args.files, args)
+    if args.train:
+        return _do_train(args.files, args)
+
+    mode = "decompress" if (args.decompress or args.test) else "compress"
+    files = args.files or ["-"]
+    rc = 0
+    for f in files:
+        try:
+            if f == "-":
+                data = sys.stdin.buffer.read()
+            else:
+                data = open(f, "rb").read()
+            if mode == "compress":
+                result = _compress_bytes(data, args)
+                default_out = _out_name_compress(f)
+            else:
+                result = _decompress_bytes(data, args)
+                default_out = _out_name_decompress(f)
+            if args.test:
+                if args.verbose:
+                    print(f"{f}: OK", file=sys.stderr)
+                continue
+            if args.stdout or f == "-":
+                sys.stdout.buffer.write(result)
+            else:
+                out = args.output or default_out
+                if os.path.exists(out) and not args.force:
+                    _err(f"{out} already exists; use -f to overwrite")
+                    rc = 1
+                    continue
+                with open(out, "wb") as fh:
+                    fh.write(result)
+                if args.verbose and mode == "compress":
+                    print(f"{f} :{100*len(result)/max(len(data),1):6.2f}%   "
+                          f"({len(data)} => {len(result)} bytes, {out})",
+                          file=sys.stderr)
+                if args.rm and f != "-":
+                    os.unlink(f)
+        except Exception as e:
+            _err(f"{f}: {e}")
+            rc = 1
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -183,13 +183,16 @@ def select_encoding_type(repeat_mode: int, count: np.ndarray, mx: int,
 # --------------------------------------------------------------------------
 
 def build_seq_ctable(mode: int, count: np.ndarray, mx: int,
-                     code_table: np.ndarray, nb_seq: int, fse_log: int,
+                     last_code: int, nb_seq: int, fse_log: int,
                      default_norm: np.ndarray, default_norm_log: int,
                      default_max: int, prev_ctable: fse.CTable | None
                      ) -> tuple[fse.CTable, bytes]:
-    """ZSTD_buildCTable: returns (ctable, serialized table description)."""
+    """ZSTD_buildCTable: returns (ctable, serialized table description).
+    last_code: code of the final sequence (its count is decremented before
+    normalization since the init state carries it, zstd_compress_sequences.c
+    ZSTD_buildCTable set_compressed path). In RLE mode all codes equal mx."""
     if mode == MODE_RLE:
-        return fse.build_ctable_rle(mx), bytes([int(code_table[0])])
+        return fse.build_ctable_rle(mx), bytes([mx])
     if mode == MODE_REPEAT:
         assert prev_ctable is not None
         return prev_ctable, b""
@@ -200,7 +203,6 @@ def build_seq_ctable(mode: int, count: np.ndarray, mx: int,
     table_log = fse.optimal_table_log(fse_log, nb_seq, mx)
     cnt = count.copy()
     nb_seq_1 = nb_seq
-    last_code = int(code_table[nb_seq - 1])
     if cnt[last_code] > 1:
         cnt[last_code] -= 1
         nb_seq_1 -= 1
@@ -292,8 +294,26 @@ def write_nbseq_header(n: int) -> bytes:
 def build_sequences_header(llc: np.ndarray, ofc: np.ndarray, mlc: np.ndarray,
                            nb_seq: int, prev: FseEntropyState, strategy: int
                            ) -> tuple[bytes, FseEntropyState, int]:
+    """Header+tables (no bitstream) from full code arrays."""
+    if nb_seq == 0:
+        return write_nbseq_header(0), prev.copy(), 0
+    hists = tuple(np.bincount(c, minlength=m + 1).astype(np.int64)
+                  for c, m in ((llc, MAX_LL_CODE), (ofc, MAX_OFF_CODE),
+                               (mlc, MAX_ML_CODE)))
+    last = (int(llc[nb_seq - 1]), int(ofc[nb_seq - 1]), int(mlc[nb_seq - 1]))
+    return build_sequences_header_from_hists(hists[0], hists[1], hists[2],
+                                             last, nb_seq, prev, strategy)
+
+
+def build_sequences_header_from_hists(
+        ll_hist: np.ndarray, of_hist: np.ndarray, ml_hist: np.ndarray,
+        last_codes: tuple[int, int, int], nb_seq: int,
+        prev: FseEntropyState, strategy: int
+) -> tuple[bytes, FseEntropyState, int]:
     """Header+tables (no bitstream): returns (bytes, next state,
-    last_count_size). Shared by the host encoder and the TPU pipeline."""
+    last_count_size). Takes only histograms + the last sequence's codes so the
+    TPU pipeline never needs the per-sequence code arrays on host.
+    last_codes = (ll, of, ml) codes of the final sequence."""
     out = bytearray(write_nbseq_header(nb_seq))
     nxt = prev.copy()
     if nb_seq == 0:
@@ -301,42 +321,44 @@ def build_sequences_header(llc: np.ndarray, ofc: np.ndarray, mlc: np.ndarray,
     n = nb_seq
     last_count_size = 0
 
+    ll_last, of_last, ml_last = last_codes
+
     # LL
-    cnt = np.bincount(llc, minlength=MAX_LL_CODE + 1).astype(np.int64)
-    mx = int(np.max(llc))
+    cnt = ll_hist.astype(np.int64)
+    mx = int(np.nonzero(cnt)[0][-1])
     most = int(cnt.max())
     ll_mode, nxt.ll_repeat = select_encoding_type(
         prev.ll_repeat, cnt, mx, most, n, LL_FSE_LOG, prev.ct_ll,
         LL_DEFAULT_DIST, LL_DEFAULT_LOG, True, strategy)
     nxt.ct_ll, ll_hdr = build_seq_ctable(
-        ll_mode, cnt, mx, llc, n, LL_FSE_LOG,
+        ll_mode, cnt, mx, ll_last, n, LL_FSE_LOG,
         LL_DEFAULT_DIST, LL_DEFAULT_LOG, MAX_LL_CODE, prev.ct_ll)
     if ll_mode == MODE_FSE:
         last_count_size = len(ll_hdr)
 
     # OF
-    cnt_of = np.bincount(ofc, minlength=MAX_OFF_CODE + 1).astype(np.int64)
-    mx_of = int(np.max(ofc))
+    cnt_of = of_hist.astype(np.int64)
+    mx_of = int(np.nonzero(cnt_of)[0][-1])
     most_of = int(cnt_of.max())
     default_allowed = mx_of <= DEFAULT_MAX_OFF
     of_mode, nxt.of_repeat = select_encoding_type(
         prev.of_repeat, cnt_of, mx_of, most_of, n, OF_FSE_LOG, prev.ct_of,
         OF_DEFAULT_DIST, OF_DEFAULT_LOG, default_allowed, strategy)
     nxt.ct_of, of_hdr = build_seq_ctable(
-        of_mode, cnt_of, mx_of, ofc, n, OF_FSE_LOG,
+        of_mode, cnt_of, mx_of, of_last, n, OF_FSE_LOG,
         OF_DEFAULT_DIST, OF_DEFAULT_LOG, DEFAULT_MAX_OFF, prev.ct_of)
     if of_mode == MODE_FSE:
         last_count_size = len(of_hdr)
 
     # ML
-    cnt_ml = np.bincount(mlc, minlength=MAX_ML_CODE + 1).astype(np.int64)
-    mx_ml = int(np.max(mlc))
+    cnt_ml = ml_hist.astype(np.int64)
+    mx_ml = int(np.nonzero(cnt_ml)[0][-1])
     most_ml = int(cnt_ml.max())
     ml_mode, nxt.ml_repeat = select_encoding_type(
         prev.ml_repeat, cnt_ml, mx_ml, most_ml, n, ML_FSE_LOG, prev.ct_ml,
         ML_DEFAULT_DIST, ML_DEFAULT_LOG, True, strategy)
     nxt.ct_ml, ml_hdr = build_seq_ctable(
-        ml_mode, cnt_ml, mx_ml, mlc, n, ML_FSE_LOG,
+        ml_mode, cnt_ml, mx_ml, ml_last, n, ML_FSE_LOG,
         ML_DEFAULT_DIST, ML_DEFAULT_LOG, MAX_ML_CODE, prev.ct_ml)
     if ml_mode == MODE_FSE:
         last_count_size = len(ml_hdr)

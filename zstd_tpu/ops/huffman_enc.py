@@ -34,15 +34,23 @@ def _encode_stream_fields(lits, nb_lut, val_lut, start, seg_len, seg_cap):
     return values.astype(jnp.int32), nbits.astype(jnp.int32)
 
 
-def huf_pack_4x_block(lits, nb_lit, nb_lut, val_lut, seg_cap, out_words):
+def huf_pack_4x_block(lits, nb_lit, nb_lut, val_lut, seg_cap, out_words,
+                      single=None):
     """One block: lits u8[L], nb_lit i32, LUTs i32[256].
 
+    single (bool scalar, optional): 1-stream mode — everything goes into
+    stream 0 (HUF_compress1X), streams 1-3 emit only their sentinel.
     Returns (words u32[4, out_words], total_bits i32[4])."""
-    seg = (nb_lit + 3) // 4
+    seg4 = (nb_lit + 3) // 4
+    if single is None:
+        single = jnp.bool_(False)
 
     def one(s):
-        start = s * seg
-        seg_len = jnp.where(s < 3, seg, nb_lit - 3 * seg)
+        start = jnp.where(single, 0, s * seg4)
+        len4 = jnp.where(s < 3, seg4, nb_lit - 3 * seg4)
+        seg_len = jnp.where(single,
+                            jnp.where(s == 0, nb_lit, 0),
+                            len4)
         v, nb = _encode_stream_fields(lits, nb_lut, val_lut, start, seg_len,
                                       seg_cap)
         return pack_bits(v, nb, out_words)

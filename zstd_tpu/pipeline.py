@@ -1,22 +1,24 @@
-"""TPU encoder pipeline: device match-finding + device entropy packing.
+"""TPU encoder pipeline v3: device-resident, transfer-minimal.
 
-Stage layout (SURVEY.md §7):
-  device pass 1: batched match extraction (hash → candidates → lengths →
-                 pointer-doubling greedy resolve → compaction), literal
-                 gather, and per-stream literal histograms.
-  host:          per-block decisions with EXACT sizes (Huffman tree build,
-                 FSE table build + NCount headers, raw/RLE gates) — small
-                 per-block work.
-  device pass 2: Huffman 4-stream literal packing + 3-state FSE sequence
-                 packing (ops.huffman_enc / ops.fse_enc).
-  host:          frame assembly (headers + concatenation) and checksum.
+The host link (PCIe / tunnel) is the scarcest resource, so the pipeline is
+structured around it (SURVEY.md §7; the TPU analog of the reference keeping
+hot data in L1):
 
-Cross-block entropy coupling (table repeat modes, carried repcodes) is
-intentionally disabled in this path so every block encodes independently —
-that is what makes the batch embarrassingly parallel and the multi-chip
-sharding exact (SURVEY.md §2.7: zstdmt-analog block sharding). Measured cost
-vs the coupled host oracle: < 2% compressed size. All frames remain
-format-exact and are validated against the reference binary.
+  h2d:   raw input blocks (unavoidable) + per-block entropy tables (~10 KB)
+  device program A (analyze): match extraction -> seqstore compaction ->
+         repcode assignment -> code conversion -> ALL histograms. Only a
+         ~4.6 KB/block stats vector is fetched; the big per-sequence arrays
+         stay resident on device.
+  host:  entropy planning from histograms alone (exact sizes — per-stream
+         literal bit counts come from hist @ nbBits), table builds.
+  device program B (pack): FSE + Huffman bit-packing (1 or 4 streams) and
+         byte compaction into fixed, left-aligned, zero-padded regions.
+  d2h:   one region buffer per batch; content ≈ compressed bytes, padding
+         compresses to ~nothing on the link.
+  host:  frame assembly (headers + slicing + concatenation, memcpy-class).
+
+Batches are software-pipelined (async dispatch) so device compute overlaps
+host planning and link transfers.
 """
 
 from __future__ import annotations
@@ -31,55 +33,106 @@ import numpy as np
 from .constants import (BLOCK_MAX_SIZE, BT_COMPRESSED, BT_RAW, BT_RLE,
                         LBT_COMPRESSED, LBT_RAW, LBT_RLE, MIN_MATCH)
 from .format import huffman
-from .format.literals import _min_gain, _min_literals_to_compress, \
-    _raw_literals, _rle_literals, HufRepeat
+from .format.literals import (HufRepeat, _min_gain,
+                              _min_literals_to_compress)
 from .format.frame import write_frame_header
-from .format.sequences import (FseEntropyState, build_sequences_header,
-                               seq_to_codes_np, write_nbseq_header)
+from .format.sequences import (FseEntropyState,
+                               build_sequences_header_from_hists,
+                               write_nbseq_header)
 from .params import CParams, get_cparams
 from .runtime import enable_compile_cache
 from .xxhash64 import content_checksum
+from .ops.seqextract import extract_batch
+from .ops.fse_enc import STATE_TABLE_PAD, SYM_PAD, fse_pack_block
+from .ops.huffman_enc import huf_pack_4x_block
+from .ops.codes import seq_codes_block
 
 enable_compile_cache()
-from .ops.seqextract import extract_batch
-from .ops.fse_enc import STATE_TABLE_PAD, SYM_PAD, fse_pack_batch
-from .ops.huffman_enc import huf_pack_4x_batch
-from .ops.bitpack import words_to_bytes_np
+
+_STATS_LIT_HIST = 0          # [4, 256]
+_STATS_LL = 1024             # [36]
+_STATS_ML = 1060             # [53]
+_STATS_OF = 1113             # [32]
+_STATS_TAIL = 1145           # last_codes[3], nb_seq, nb_lit, all_same, first_lit
+STATS_LEN = 1152
 
 
 @functools.partial(jax.jit, static_argnames=("hash_log", "mls", "seq_cap"))
-def _extract_jit(blocks, valid_lens, hash_log, mls, seq_cap):
+def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap):
+    """Device program A. Returns (stats i32[B, STATS_LEN], resident dict)."""
     res = extract_batch(blocks, valid_lens, hash_log, mls, seq_cap)
     lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
-    res["lits"] = lits
 
     n = blocks.shape[1]
     j = jnp.arange(n, dtype=jnp.int32)
 
-    def hists(lit_row, nb_lit):
+    def per_block(block, vlen, lit_row, nb_lit, nb_seq, ll, off, ml):
+        codes = seq_codes_block(ll, off, ml, nb_seq)
         seg = jnp.maximum((nb_lit + 3) // 4, 1)
         stream = jnp.clip(j // seg, 0, 3)
-        valid = (j < nb_lit).astype(jnp.int32)
-        h = jnp.zeros((4, 256), dtype=jnp.int32)
-        return h.at[stream, lit_row].add(valid)
+        lv = (j < nb_lit).astype(jnp.int32)
+        lit_hist4 = jnp.zeros((4, 256), jnp.int32).at[stream, lit_row].add(lv)
+        all_same = jnp.all((block == block[0]) | (j >= vlen))
+        stats = jnp.concatenate([
+            lit_hist4.reshape(-1),
+            codes["ll_hist"], codes["ml_hist"], codes["of_hist"],
+            codes["last_codes"],
+            jnp.stack([nb_seq, nb_lit, all_same.astype(jnp.int32),
+                       lit_row[0].astype(jnp.int32)]),
+        ])
+        stats = jnp.pad(stats, (0, STATS_LEN - stats.shape[0]))
+        return stats, codes["llc"], codes["mlc"], codes["ofc"], codes["ob"], codes["mlb"]
 
-    res["lit_hist4"] = jax.vmap(hists)(lits, res["nb_lit"])
-    return res
+    stats, llc, mlc, ofc, ob, mlb = jax.vmap(per_block)(
+        blocks, valid_lens, lits, res["nb_lit"], res["nb_seq"],
+        res["ll"], res["off"], res["ml"])
+    resident = dict(llc=llc, mlc=mlc, ofc=ofc, ob=ob, mlb=mlb,
+                    llx=res["ll"], lits=lits, nb_lit=res["nb_lit"],
+                    nb_seq=res["nb_seq"])
+    return stats, resident
 
 
-def _assign_repcodes_vec(ll: np.ndarray, off: np.ndarray) -> np.ndarray:
-    """Vectorized intra-block repcode assignment.
+def _bytes_of_words(words, nbytes_valid, out_len):
+    """u32[w] -> u8[out_len], zeroing bytes >= nbytes_valid."""
+    raw = jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)
+    j = jnp.arange(raw.shape[0], dtype=jnp.int32)
+    raw = jnp.where(j < nbytes_valid, raw, 0)
+    return raw[:out_len]
 
-    Rule: off_base = 1 (repeat-1) iff litLength > 0 and the offset equals the
-    previous sequence's offset; otherwise off_base = offset + 3. Under this
-    rule the decoder's Repeated_Offset1 before sequence i always equals
-    off[i-1], so the assignment is exact and needs no sequential state. The
-    first sequence never uses repcodes (no cross-block rep dependence)."""
-    ob = off.astype(np.int64) + 3
-    if len(off) > 1:
-        is_rep1 = (ll[1:] > 0) & (off[1:] == off[:-1])
-        ob[1:] = np.where(is_rep1, 1, ob[1:])
-    return ob
+
+@functools.partial(jax.jit,
+                   static_argnames=("cap", "out_w_fse", "seg_cap", "out_w_huf"))
+def _pack_impl(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits, nb_lits,
+               nb_luts, val_luts, sts, dns, dfs, tls, singles,
+               lit_raw_needed,
+               cap, out_w_fse, seg_cap, out_w_huf):
+    n_lit_region = lits.shape[1]
+
+    def per_block(llc_, mlc_, ofc_, llx_, mlb_, ob_, nb_seq, lit_row, nb_lit,
+                  nb_lut, val_lut, st, dn, df, tl, single, lit_raw):
+        fse_words, fse_bits = fse_pack_block(
+            llc_[:cap], mlc_[:cap], ofc_[:cap], llx_[:cap], mlb_[:cap],
+            ob_[:cap], jnp.minimum(nb_seq, cap), st, dn, df, tl,
+            cap, out_w_fse)
+        huf_words, huf_bits = huf_pack_4x_block(
+            lit_row, nb_lit, nb_lut, val_lut, seg_cap, out_w_huf,
+            single=single)
+        fse_nb = (fse_bits + 7) // 8
+        huf_nb = (huf_bits + 7) // 8
+        pieces = [_bytes_of_words(fse_words, fse_nb, out_w_fse * 4)]
+        for s in range(4):
+            pieces.append(_bytes_of_words(huf_words[s], huf_nb[s],
+                                          out_w_huf * 4))
+        j = jnp.arange(n_lit_region, dtype=jnp.int32)
+        lit_bytes = jnp.where(lit_raw & (j < nb_lit), lit_row, 0)
+        pieces.append(lit_bytes.astype(jnp.uint8))
+        out = jnp.concatenate(pieces)
+        sizes = jnp.concatenate([fse_nb.reshape(1), huf_nb])
+        return out, sizes
+
+    return jax.vmap(per_block)(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits,
+                               nb_lits, nb_luts, val_luts, sts, dns, dfs,
+                               tls, singles, lit_raw_needed)
 
 
 def _pad_ct(ct) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
@@ -92,27 +145,60 @@ def _pad_ct(ct) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     return st, dn, df, ct.table_log
 
 
-@dataclasses.dataclass
-class _LitPlan:
-    kind: str                 # 'raw' | 'rle' | 'host1x' | 'dev4x'
-    section: bytes = b""      # complete section for raw/rle/host1x
-    tree_desc: bytes = b""    # for dev4x
-    stream_sizes: tuple = ()  # exact per-stream sizes for dev4x
-    ct: huffman.HufCTable | None = None
-    n_lit: int = 0
-
-
 def _seq_cap_bucket(max_seq: int) -> int:
-    for cap in (1024, 4096, 16384, 32768):
-        if max_seq <= cap:
-            return cap
+    for c in (1024, 4096, 16384, 32768):
+        if max_seq <= c:
+            return c
     return 32768
 
 
 @dataclasses.dataclass
+class _LitPlan:
+    kind: str                 # 'raw' | 'rle' | 'huf'
+    single: bool = False
+    tree_desc: bytes = b""
+    stream_sizes: tuple = ()  # exact sizes (1 entry if single)
+    c_size: int = 0           # tree + (jump) + streams
+    ct: "huffman.HufCTable | None" = None
+    n_lit: int = 0
+    first_byte: int = 0
+
+
+def _lit_header(h_type: int, regen: int, c_size: int, single_stream: bool) -> bytes:
+    lh_size = 3 + (regen >= 1024) + (regen >= 16384)
+    if lh_size == 3:
+        lhc = h_type + ((0 if single_stream else 1) << 2) + (regen << 4) + (c_size << 14)
+        return lhc.to_bytes(3, "little")
+    if lh_size == 4:
+        lhc = h_type + (2 << 2) + (regen << 4) + (c_size << 18)
+        return lhc.to_bytes(4, "little")
+    lhc = h_type + (3 << 2) + (regen << 4) + ((c_size & 0x3FF) << 22)
+    return lhc.to_bytes(4, "little") + bytes([(c_size >> 10) & 0xFF])
+
+
+def _raw_lit_header(n: int) -> bytes:
+    fl = 1 + (n > 31) + (n > 4095)
+    if fl == 1:
+        return bytes([LBT_RAW | ((n << 3) & 0xFF)])
+    if fl == 2:
+        return (LBT_RAW + (1 << 2) + (n << 4)).to_bytes(2, "little")
+    return (LBT_RAW + (3 << 2) + (n << 4)).to_bytes(3, "little")
+
+
+def _rle_lit_section(n: int, byte: int) -> bytes:
+    fl = 1 + (n > 31) + (n > 4095)
+    if fl == 1:
+        hdr = bytes([LBT_RLE + ((n << 3) & 0xFF)])
+    elif fl == 2:
+        hdr = (LBT_RLE + (1 << 2) + (n << 4)).to_bytes(2, "little")
+    else:
+        hdr = (LBT_RLE + (3 << 2) + (n << 4)).to_bytes(3, "little")
+    return hdr + bytes([byte])
+
+
+@dataclasses.dataclass
 class TpuCompressor:
-    """Batched block compressor: blocks encode independently (block-local
-    matching window), batches stream through two device programs."""
+    """Batched, device-resident block compressor (level 1/2 class)."""
     level: int = 1
     checksum: bool = False
     batch_blocks: int = 32
@@ -131,11 +217,46 @@ class TpuCompressor:
         nb_blocks = (n + block_size - 1) // block_size
         arr = np.frombuffer(data, dtype=np.uint8)
 
+        # software pipeline over batches: dispatch A eagerly, then per batch
+        # plan + dispatch B, then fetch + assemble (async dispatch overlaps)
+        batches = []
+        for bs in range(0, nb_blocks, self.batch_blocks):
+            be = min(bs + self.batch_blocks, nb_blocks)
+            batches.append((bs, be))
+
+        WINDOW = 3
+        stageA: dict[int, tuple] = {}
+        stageB: dict[int, tuple] = {}
         payloads: list[tuple[bytes, int, int]] = []
-        for batch_start in range(0, nb_blocks, self.batch_blocks):
-            batch_end = min(batch_start + self.batch_blocks, nb_blocks)
-            payloads += self._compress_batch(arr, n, batch_start, batch_end,
-                                             block_size, cparams)
+
+        def dispatchA(k):
+            bs, be = batches[k]
+            bsz = be - bs
+            blocks = np.zeros((bsz, block_size), dtype=np.uint8)
+            lens = np.zeros(bsz, dtype=np.int32)
+            for j, bi in enumerate(range(bs, be)):
+                s = bi * block_size
+                e = min(s + block_size, n)
+                blocks[j, : e - s] = arr[s:e]
+                lens[j] = e - s
+            stats, resident = _analyze_jit(
+                jnp.asarray(blocks), jnp.asarray(lens),
+                cparams.hash_log, min(max(cparams.min_match, 4), 8),
+                max(block_size // 4, 8))
+            stageA[k] = (lens, stats, resident)
+
+        for k in range(len(batches)):
+            dispatchA(k)
+            if k >= WINDOW - 1:
+                self._planB(k - WINDOW + 1, stageA, stageB, block_size, cparams)
+            if k >= WINDOW:
+                payloads += self._finalize(k - WINDOW, stageA, stageB, arr,
+                                           batches, block_size, cparams)
+        for k in range(max(len(batches) - WINDOW + 1, 0), len(batches)):
+            self._planB(k, stageA, stageB, block_size, cparams)
+        for k in range(max(len(batches) - WINDOW, 0), len(batches)):
+            payloads += self._finalize(k, stageA, stageB, arr, batches,
+                                       block_size, cparams)
 
         for i, (payload, btype, blen) in enumerate(payloads):
             last = i == len(payloads) - 1
@@ -150,129 +271,134 @@ class TpuCompressor:
         return bytes(out)
 
     # ------------------------------------------------------------------
-    def _compress_batch(self, arr, n, batch_start, batch_end, block_size,
-                        cparams: CParams):
-        bsz = batch_end - batch_start
-        seq_cap = max(block_size // 4, 8)
-        hash_log = cparams.hash_log
-        mls = min(max(cparams.min_match, 4), 8)
+    def _planB(self, k, stageA, stageB, block_size, cparams: CParams):
+        lens, stats_d, resident = stageA[k]
+        stats = np.asarray(stats_d)  # single small d2h
+        bsz = stats.shape[0]
         strategy = cparams.strategy
 
-        blocks = np.zeros((bsz, block_size), dtype=np.uint8)
-        lens = np.zeros(bsz, dtype=np.int32)
-        for j, bi in enumerate(range(batch_start, batch_end)):
-            s = bi * block_size
-            e = min(s + block_size, n)
-            blocks[j, : e - s] = arr[s:e]
-            lens[j] = e - s
-
-        res = jax.device_get(_extract_jit(jnp.asarray(blocks),
-                                          jnp.asarray(lens),
-                                          hash_log, mls, seq_cap))
-
-        # ---- host planning ------------------------------------------------
-        plans: list[dict] = []
+        plans = []
         max_seq = 1
-        for j in range(bsz):
-            blen = int(lens[j])
-            nb_seq = int(res["nb_seq"][j])
-            nb_lit = int(res["nb_lit"][j])
-            ll = res["ll"][j][:nb_seq].astype(np.int64)
-            off = res["off"][j][:nb_seq].astype(np.int64)
-            ml = res["ml"][j][:nb_seq].astype(np.int64)
-            lits = res["lits"][j][:nb_lit].tobytes()
-            hist4 = res["lit_hist4"][j].astype(np.int64)
-
-            ob = _assign_repcodes_vec(ll, off)
-            llc, ofc, mlc = seq_to_codes_np(ll, ob, ml - MIN_MATCH)
-            seq_header, fse_state, last_count = build_sequences_header(
-                llc, ofc, mlc, nb_seq, FseEntropyState(), strategy) \
-                if nb_seq else (write_nbseq_header(0), FseEntropyState(), 0)
-            lit_plan = self._plan_literals(lits, nb_lit, hist4, strategy)
-            plans.append(dict(
-                blen=blen, nb_seq=nb_seq, nb_lit=nb_lit, ll=ll, ob=ob,
-                ml=ml, lits=lits, llc=llc, ofc=ofc, mlc=mlc,
-                seq_header=seq_header, fse_state=fse_state,
-                last_count=last_count, lit_plan=lit_plan))
-            max_seq = max(max_seq, nb_seq)
-
-        # ---- device pass 2 -------------------------------------------------
-        cap = _seq_cap_bucket(max_seq)
-        fse_in = {k: np.zeros((bsz, cap), dtype=np.int32)
-                  for k in ("llc", "mlc", "ofc", "llx", "mlx", "ofx")}
-        nb_seqs = np.zeros(bsz, dtype=np.int32)
         sts = np.zeros((bsz, 3, STATE_TABLE_PAD), dtype=np.int32)
         dns = np.zeros((bsz, 3, SYM_PAD), dtype=np.int32)
         dfs = np.zeros((bsz, 3, SYM_PAD), dtype=np.int32)
         tls = np.zeros((bsz, 3), dtype=np.int32)
         nb_luts = np.zeros((bsz, 256), dtype=np.int32)
         val_luts = np.zeros((bsz, 256), dtype=np.int32)
-        nb_lits_dev = np.zeros(bsz, dtype=np.int32)
-        for j, p in enumerate(plans):
-            nseq = min(p["nb_seq"], cap)
-            if nseq:
-                fse_in["llc"][j, :nseq] = p["llc"]
-                fse_in["mlc"][j, :nseq] = p["mlc"]
-                fse_in["ofc"][j, :nseq] = p["ofc"]
-                fse_in["llx"][j, :nseq] = p["ll"]
-                fse_in["mlx"][j, :nseq] = p["ml"] - MIN_MATCH
-                fse_in["ofx"][j, :nseq] = p["ob"]
-                nb_seqs[j] = nseq
-                st = p["fse_state"]
-                for t, ct in enumerate((st.ct_ll, st.ct_of, st.ct_ml)):
+        singles = np.zeros(bsz, dtype=bool)
+        lit_raw = np.zeros(bsz, dtype=bool)
+
+        for j in range(bsz):
+            row = stats[j]
+            lit_hist4 = row[:1024].reshape(4, 256).astype(np.int64)
+            ll_hist = row[_STATS_LL:_STATS_LL + 36].astype(np.int64)
+            ml_hist = row[_STATS_ML:_STATS_ML + 53].astype(np.int64)
+            of_hist = row[_STATS_OF:_STATS_OF + 32].astype(np.int64)
+            last_codes = tuple(int(x) for x in row[_STATS_TAIL:_STATS_TAIL + 3])
+            nb_seq = int(row[_STATS_TAIL + 3])
+            nb_lit = int(row[_STATS_TAIL + 4])
+            all_same = bool(row[_STATS_TAIL + 5])
+            first_lit = int(row[_STATS_TAIL + 6])
+            blen = int(lens[j])
+
+            if nb_seq:
+                lc = (last_codes[0], last_codes[1], last_codes[2])
+                seq_header, fse_state, last_count = \
+                    build_sequences_header_from_hists(
+                        ll_hist, of_hist, ml_hist, lc, nb_seq,
+                        FseEntropyState(), strategy)
+                for t, ct in enumerate((fse_state.ct_ll, fse_state.ct_of,
+                                        fse_state.ct_ml)):
                     s_, d_, f_, tl = _pad_ct(ct)
                     sts[j, t] = s_
                     dns[j, t] = d_
                     dfs[j, t] = f_
                     tls[j, t] = tl
-            lp = p["lit_plan"]
-            if lp.kind == "dev4x":
+            else:
+                seq_header, last_count = write_nbseq_header(0), 0
+
+            lp = self._plan_literals(nb_lit, lit_hist4, first_lit, strategy)
+            if lp.kind == "huf":
                 nb_luts[j] = lp.ct.nb_bits
                 val_luts[j] = lp.ct.value
-                nb_lits_dev[j] = lp.n_lit
+                singles[j] = lp.single
+            elif lp.kind == "raw":
+                lit_raw[j] = True
+            plans.append(dict(blen=blen, nb_seq=nb_seq, nb_lit=nb_lit,
+                              seq_header=seq_header, last_count=last_count,
+                              lit_plan=lp, all_same=all_same,
+                              first_lit=first_lit))
+            max_seq = max(max_seq, nb_seq)
 
+        cap = _seq_cap_bucket(max_seq)
         out_w_fse = (cap * 90) // 32 + 4
         seg_cap = (block_size + 3) // 4
         out_w_huf = (seg_cap * 12) // 32 + 4
+        r = resident
+        outbuf, sizes = _pack_impl(
+            r["llc"], r["mlc"], r["ofc"], r["llx"], r["mlb"], r["ob"],
+            r["nb_seq"], r["lits"], r["nb_lit"],
+            jnp.asarray(nb_luts), jnp.asarray(val_luts),
+            jnp.asarray(sts), jnp.asarray(dns), jnp.asarray(dfs),
+            jnp.asarray(tls), jnp.asarray(singles), jnp.asarray(lit_raw),
+            cap, out_w_fse, seg_cap, out_w_huf)
+        stageB[k] = (plans, outbuf, sizes, out_w_fse, out_w_huf)
+        del stageA[k]
 
-        fse_words, fse_bits = fse_pack_batch(
-            *(jnp.asarray(fse_in[k]) for k in ("llc", "mlc", "ofc", "llx", "mlx", "ofx")),
-            jnp.asarray(nb_seqs), jnp.asarray(sts), jnp.asarray(dns),
-            jnp.asarray(dfs), jnp.asarray(tls), cap, out_w_fse)
-        huf_words, huf_bits = huf_pack_4x_batch(
-            jnp.asarray(res["lits"]), jnp.asarray(nb_lits_dev),
-            jnp.asarray(nb_luts), jnp.asarray(val_luts), seg_cap, out_w_huf)
-        fse_words = np.asarray(fse_words)
-        fse_bits = np.asarray(fse_bits)
-        huf_words = np.asarray(huf_words)
-        huf_bits = np.asarray(huf_bits)
-
-        # ---- host finalization ----------------------------------------------
+    # ------------------------------------------------------------------
+    def _finalize(self, k, stageA, stageB, arr, batches, block_size,
+                  cparams: CParams):
+        plans, outbuf_d, sizes_d, out_w_fse, out_w_huf = stageB[k]
+        outbuf = np.asarray(outbuf_d)
+        sizes = np.asarray(sizes_d)
+        bs, be = batches[k]
+        strategy = cparams.strategy
+        n = len(arr)
         results = []
+        fse_off = 0
+        huf_off = out_w_fse * 4
+        lit_off = huf_off + 4 * out_w_huf * 4
+
         for j, p in enumerate(plans):
             blen = p["blen"]
-            src = blocks[j, :blen]
+            s = (bs + j) * block_size
+            src = arr[s : s + blen]
             raw = (src.tobytes(), BT_RAW, blen)
             if blen < MIN_MATCH + 1 + 8:
                 results.append(raw)
                 continue
+            buf = outbuf[j]
             lp = p["lit_plan"]
-            if lp.kind == "dev4x":
-                streams = [words_to_bytes_np(huf_words[j, s], int(huf_bits[j, s]))
-                           for s in range(4)]
-                if tuple(len(s) for s in streams) != lp.stream_sizes:
-                    results.append(raw)  # defensive; should not happen
+            nb_lit = p["nb_lit"]
+
+            if lp.kind == "huf":
+                off = huf_off
+                streams = []
+                for t in range(4):
+                    size = int(sizes[j, 1 + t])
+                    streams.append(buf[off : off + size].tobytes())
+                    off += out_w_huf * 4
+                if lp.single:
+                    payload_l = lp.tree_desc + streams[0]
+                else:
+                    jump = b"".join(len(x).to_bytes(2, "little")
+                                    for x in streams[:3])
+                    payload_l = lp.tree_desc + jump + b"".join(streams)
+                if len(payload_l) != lp.c_size:
+                    results.append(raw)  # defensive
                     continue
-                jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
-                payload4 = lp.tree_desc + jump + b"".join(streams)
-                lit_section = _lit_header(LBT_COMPRESSED, lp.n_lit,
-                                          len(payload4), False) + payload4
+                lit_section = _lit_header(LBT_COMPRESSED, nb_lit, lp.c_size,
+                                          lp.single) + payload_l
+            elif lp.kind == "rle":
+                lit_section = _rle_lit_section(nb_lit, lp.first_byte)
             else:
-                lit_section = lp.section
+                lit_bytes = buf[lit_off : lit_off + nb_lit].tobytes()
+                lit_section = _raw_lit_header(nb_lit) + lit_bytes
 
             if p["nb_seq"]:
-                bitstream = words_to_bytes_np(fse_words[j], int(fse_bits[j]))
-                if p["last_count"] and (p["last_count"] + len(bitstream)) < 4:
+                fse_nb = int(sizes[j, 0])
+                bitstream = buf[fse_off : fse_off + fse_nb].tobytes()
+                if p["last_count"] and (p["last_count"] + fse_nb) < 4:
                     results.append(raw)
                     continue
                 seq_section = p["seq_header"] + bitstream
@@ -281,27 +407,28 @@ class TpuCompressor:
 
             payload = lit_section + seq_section
             if len(payload) >= blen - _min_gain(blen, strategy):
-                if blen > 1 and (src == src[0]).all():
-                    results.append((bytes(src[:1]), BT_RLE, blen))
+                if p["all_same"] and blen > 1:
+                    results.append((src[:1].tobytes(), BT_RLE, blen))
                 else:
                     results.append(raw)
                 continue
             results.append((payload, BT_COMPRESSED, blen))
+        del stageB[k]
         return results
 
     # ------------------------------------------------------------------
-    def _plan_literals(self, lits: bytes, n_lit: int, hist4: np.ndarray,
+    def _plan_literals(self, n_lit: int, hist4: np.ndarray, first_lit: int,
                        strategy: int) -> _LitPlan:
         if n_lit == 0:
-            return _LitPlan("raw", _raw_literals(b""))
+            return _LitPlan("raw", n_lit=0)
         if n_lit < _min_literals_to_compress(strategy, HufRepeat.NONE):
-            return _LitPlan("raw", _raw_literals(lits))
+            return _LitPlan("raw", n_lit=n_lit)
         hist = hist4.sum(axis=0)
         largest = int(hist.max())
         if largest == n_lit:
-            return _LitPlan("rle", _rle_literals(lits))
+            return _LitPlan("rle", n_lit=n_lit, first_byte=first_lit)
         if largest <= (n_lit >> 7) + 4:
-            return _LitPlan("raw", _raw_literals(lits))
+            return _LitPlan("raw", n_lit=n_lit)
         max_symbol = int(np.nonzero(hist)[0][-1])
         huff_log = huffman.huf_optimal_table_log(huffman.HUF_TABLELOG_DEFAULT,
                                                  n_lit, max_symbol)
@@ -309,45 +436,30 @@ class TpuCompressor:
         try:
             tree_desc = huffman.write_tree_description(ct)
         except Exception:
-            return _LitPlan("raw", _raw_literals(lits))
+            return _LitPlan("raw", n_lit=n_lit)
         if len(tree_desc) + 12 >= n_lit:
-            return _LitPlan("raw", _raw_literals(lits))
+            return _LitPlan("raw", n_lit=n_lit)
 
         min_gain = _min_gain(n_lit, strategy)
-        if n_lit < 256:
-            payload = huffman.huf_encode_1x(lits, ct)
-            c_size = len(tree_desc) + len(payload)
-            if c_size >= n_lit - min_gain or c_size >= n_lit - 1:
-                return _LitPlan("raw", _raw_literals(lits))
-            section = _lit_header(LBT_COMPRESSED, n_lit, c_size, True) \
-                + tree_desc + payload
-            return _LitPlan("host1x", section)
-
-        if n_lit < 12:
-            return _LitPlan("raw", _raw_literals(lits))
-        # exact per-stream sizes from per-stream histograms
         nbb = ct.nb_bits.astype(np.int64)
-        bits_s = hist4 @ nbb
-        sizes = tuple(int((b + 1 + 7) // 8) for b in bits_s)
-        if any(s > 65535 for s in sizes[:3]):
-            return _LitPlan("raw", _raw_literals(lits))
-        c_size = len(tree_desc) + 6 + sum(sizes)
+        single = n_lit < 256
+        if single:
+            bits = int(hist @ nbb)
+            size0 = (bits + 1 + 7) // 8
+            c_size = len(tree_desc) + size0
+            sizes = (size0,)
+        else:
+            if n_lit < 12:
+                return _LitPlan("raw", n_lit=n_lit)
+            bits_s = hist4 @ nbb
+            sizes = tuple(int((b + 1 + 7) // 8) for b in bits_s)
+            if any(x > 65535 for x in sizes[:3]):
+                return _LitPlan("raw", n_lit=n_lit)
+            c_size = len(tree_desc) + 6 + sum(sizes)
         if c_size >= n_lit - min_gain or c_size >= n_lit - 1:
-            return _LitPlan("raw", _raw_literals(lits))
-        return _LitPlan("dev4x", tree_desc=tree_desc, stream_sizes=sizes,
-                        ct=ct, n_lit=n_lit)
-
-
-def _lit_header(h_type: int, regen: int, c_size: int, single_stream: bool) -> bytes:
-    lh_size = 3 + (regen >= 1024) + (regen >= 16384)
-    if lh_size == 3:
-        lhc = h_type + ((0 if single_stream else 1) << 2) + (regen << 4) + (c_size << 14)
-        return lhc.to_bytes(3, "little")
-    if lh_size == 4:
-        lhc = h_type + (2 << 2) + (regen << 4) + (c_size << 18)
-        return lhc.to_bytes(4, "little")
-    lhc = h_type + (3 << 2) + (regen << 4) + ((c_size & 0x3FF) << 22)
-    return lhc.to_bytes(4, "little") + bytes([(c_size >> 10) & 0xFF])
+            return _LitPlan("raw", n_lit=n_lit)
+        return _LitPlan("huf", single=single, tree_desc=tree_desc,
+                        stream_sizes=sizes, c_size=c_size, ct=ct, n_lit=n_lit)
 
 
 def compress(data: bytes, level: int = 1, checksum: bool = False,
