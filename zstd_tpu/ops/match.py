@@ -31,25 +31,34 @@ _P1 = np.uint32(2654435761)
 _P2 = np.uint32(2246822519)
 
 
-def hash_positions(block: jax.Array, hash_log: int, mls: int) -> jax.Array:
+def words_at(block: jax.Array) -> jax.Array:
+    """uint32[n]: little-endian 4-byte word starting at every byte position
+    (positions past the end read zeros). One shifted-add construction, no
+    gathers; the word array then serves all match comparisons 4 bytes at a
+    time."""
+    n = block.shape[0]
+    b = block.astype(jnp.uint32)
+    zero = jnp.zeros(3, dtype=jnp.uint32)
+    bp = jnp.concatenate([b, zero])
+    w = (bp[0:n]
+         | (bp[1:n + 1] << np.uint32(8))
+         | (bp[2:n + 2] << np.uint32(16))
+         | (bp[3:n + 3] << np.uint32(24)))
+    return w
+
+
+def hash_positions(block: jax.Array, hash_log: int, mls: int,
+                   w32: jax.Array | None = None) -> jax.Array:
     """block: uint8[n]. Returns uint32[n] bucket ids (hash of mls bytes).
 
     Uses two u32 lane loads (bytes 0-3 and 4-7 masked to mls) mixed with
-    Knuth/xxh32 primes — u32-only so it runs without x64 mode; the host
-    oracle uses the identical function (numpy) for exact equivalence.
+    Knuth/xxh32 primes — u32-only so it runs without x64 mode.
     """
     n = block.shape[0]
-    b = block.astype(jnp.uint32)
-
-    def load4(off):
-        parts = []
-        for k in range(4):
-            idx = jnp.minimum(jnp.arange(n) + off + k, n - 1)
-            parts.append(b[idx] << np.uint32(8 * k))
-        return functools.reduce(jnp.bitwise_or, parts)
-
-    lo = load4(0)
-    hi = load4(4)
+    if w32 is None:
+        w32 = words_at(block)
+    lo = w32
+    hi = jnp.concatenate([w32[4:], jnp.zeros(4, dtype=jnp.uint32)])
     keep = max(0, min(mls, 8) - 4)
     if keep == 0:
         hi = jnp.zeros_like(hi)
@@ -74,67 +83,91 @@ def prev_same_bucket(h: jax.Array, valid_len: jax.Array) -> jax.Array:
     return jnp.where(pos < valid_len, prev, -1)
 
 
+def _ctz_bytes(x: jax.Array) -> jax.Array:
+    """Per-element: number of matching low BYTES implied by xor value x
+    (4 when x == 0)."""
+    lowbit = x & (jnp.uint32(0) - x)
+    ctz = 31 - jax.lax.clz(lowbit.astype(jnp.int32)).astype(jnp.int32)
+    return jnp.where(x == 0, 4, ctz >> 3).astype(jnp.int32)
+
+
+def _clz_bytes(x: jax.Array) -> jax.Array:
+    """Per-element: number of matching high BYTES implied by xor value x."""
+    clz = jax.lax.clz(x.astype(jnp.int32)).astype(jnp.int32)
+    return jnp.where(x == 0, 4, clz >> 3).astype(jnp.int32)
+
+
 def match_lengths(block: jax.Array, cand: jax.Array, valid_len: jax.Array,
-                  max_rounds: int = 24, chunk: int = 16) -> jax.Array:
+                  w32: jax.Array | None = None,
+                  max_rounds: int = 255, chunk_words: int = 8) -> jax.Array:
     """int32[n] forward match length between pos i and cand[i] (0 if cand<0
-    or first 4 bytes differ). Capped at valid_len - i and chunk*max_rounds."""
+    or first 4 bytes differ). Word-at-a-time compares via the words_at view;
+    capped at valid_len - i and 4 + 4*chunk_words*max_rounds."""
     n = block.shape[0]
+    if w32 is None:
+        w32 = words_at(block)
     pos = jnp.arange(n, dtype=jnp.int32)
     limit = jnp.maximum(valid_len - pos, 0)
     has_cand = cand >= 0
     c = jnp.maximum(cand, 0)
 
-    def gather_eq_run(a_off, b_off, width):
-        """Number of equal leading bytes in block[a_off:a_off+width] vs b_off."""
+    def word_run(a_off, b_off):
+        """Matching byte count over chunk_words u32 windows (byte-granular)."""
         run = jnp.zeros(n, dtype=jnp.int32)
         still = jnp.ones(n, dtype=jnp.bool_)
-        for k in range(width):
-            ia = jnp.minimum(a_off + k, n - 1)
-            ib = jnp.minimum(b_off + k, n - 1)
-            in_range = (a_off + k) < valid_len
-            eq = (block[ia] == block[ib]) & in_range
-            still = still & eq
-            run = run + still.astype(jnp.int32)
+        for k in range(chunk_words):
+            wa = w32[jnp.minimum(a_off + 4 * k, n - 1)]
+            wb = w32[jnp.minimum(b_off + 4 * k, n - 1)]
+            x = wa ^ wb
+            eqb = _ctz_bytes(x)
+            run = run + jnp.where(still, eqb, 0)
+            still = still & (x == 0)
         return run
 
-    first4 = gather_eq_run(pos, c, 4)
-    matched = has_cand & (first4 >= 4)
-
+    matched = has_cand & (w32 == w32[c])
     mlen = jnp.where(matched, 4, 0).astype(jnp.int32)
     active = matched
+    chunk = 4 * chunk_words
 
     def body(state):
         mlen, active, rounds, _ = state
-        run = gather_eq_run(pos + mlen, c + mlen, chunk)
+        run = word_run(pos + mlen, c + mlen)
         run = jnp.where(active, run, 0)
         mlen = mlen + run
         rounds = rounds + 1
         active = active & (run == chunk) & (rounds < max_rounds)
         return mlen, active, rounds, jnp.any(active)
 
-    def cond(state):
-        return state[3]
-
     mlen, _, _, _ = jax.lax.while_loop(
-        cond, body, (mlen, active, jnp.int32(0), jnp.any(active)))
+        lambda s: s[3], body, (mlen, active, jnp.int32(0), jnp.any(active)))
     mlen = jnp.minimum(mlen, limit)
     return jnp.where(matched, mlen, 0)
 
 
 def backward_extension(block: jax.Array, cand: jax.Array,
-                       max_back: int = 16) -> jax.Array:
-    """int32[n]: how far (pos, cand) match extends backwards (bounded)."""
+                       max_back: int = 16,
+                       w32: jax.Array | None = None) -> jax.Array:
+    """int32[n]: how far (pos, cand) match extends backwards (bounded).
+    Word-at-a-time: compare the 4 bytes ENDING at each boundary and count
+    matching high bytes."""
     n = block.shape[0]
+    if w32 is None:
+        w32 = words_at(block)
     pos = jnp.arange(n, dtype=jnp.int32)
     c = jnp.maximum(cand, 0)
     ext = jnp.zeros(n, dtype=jnp.int32)
     still = cand >= 0
-    for k in range(1, max_back + 1):
-        ia = jnp.maximum(pos - k, 0)
-        ib = jnp.maximum(c - k, 0)
-        ok = still & (pos - k >= 0) & (c - k >= 0) & (block[ia] == block[ib])
-        ext = ext + ok.astype(jnp.int32)
-        still = ok
+    for k in range(max_back // 4):
+        back = 4 * (k + 1)
+        ia = pos - back
+        ib = c - back
+        ok_range = still & (ia >= 0) & (ib >= 0)
+        wa = w32[jnp.maximum(ia, 0)]
+        wb = w32[jnp.maximum(ib, 0)]
+        x = wa ^ wb
+        eqb = jnp.where(ok_range, _clz_bytes(x), 0)
+        ext = ext + jnp.where(still, eqb, 0)
+        still = ok_range & (x == 0)
     return ext
 
 
@@ -181,9 +214,10 @@ def find_matches_block(block: jax.Array, valid_len: jax.Array,
     n = block.shape[0]
     # positions too close to the end never start a match (tail literal margin)
     margin = 8
-    h = hash_positions(block, hash_log, mls)
+    w32 = words_at(block)
+    h = hash_positions(block, hash_log, mls, w32)
     cand = prev_same_bucket(h, valid_len)
-    mlen = match_lengths(block, cand, valid_len)
+    mlen = match_lengths(block, cand, valid_len, w32)
     pos = jnp.arange(n, dtype=jnp.int32)
     mlen = jnp.where(pos < valid_len - margin, mlen, 0)
     n_log2 = max(1, int(np.ceil(np.log2(max(n, 2)))))
