@@ -3,9 +3,10 @@ import subprocess
 import sys
 
 # JAX tests run on a virtual 8-device CPU mesh; must be set before jax import.
-# (JAX_PLATFORMS alone is overridden by the axon TPU plugin in this image.)
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force (not setdefault): the harness may export JAX_PLATFORMS=axon (TPU
+# tunnel), but the suite is designed for the deterministic CPU mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
