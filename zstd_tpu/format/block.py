@@ -61,9 +61,14 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
     if n < MIN_MATCH + 1 + 8:
         return raw
 
-    seqs, new_reps = find_sequences(
-        full, block_start, block_end, window_low, state.reps,
-        hash_log=cparams.hash_log, mls=min(max(cparams.min_match, 4), 8))
+    if cparams.strategy >= 2:  # Strategy.DFAST and up: lazy-class ladder
+        from .lazy import find_sequences_lazy
+        seqs, new_reps = find_sequences_lazy(
+            full, block_start, block_end, window_low, state.reps, cparams)
+    else:
+        seqs, new_reps = find_sequences(
+            full, block_start, block_end, window_low, state.reps,
+            hash_log=cparams.hash_log, mls=min(max(cparams.min_match, 4), 8))
 
     strategy = cparams.strategy
     try:
