@@ -1,0 +1,477 @@
+/* Optimal-parse sequence extraction (btopt/btultra class, levels 13-22).
+ *
+ * Same *role* as the reference's zstd_opt.c (price-model DP over block
+ * positions; /root/reference/lib/compress/zstd_opt.c
+ * ZSTD_compressBlock_opt_generic, ZSTD_getMatchPrice:324) but an original
+ * design: hash-chain candidate enumeration (deep walk, increasing-length
+ * match set) + full-block forward DP with per-cell repcode state, seeded by
+ * an internal greedy statistics pass (the btultra2 two-pass idea).
+ *
+ * Price accounting: cell price accumulates literal prices plus incremental
+ * literal-length-code deltas (llp(run+1)-llp(run)); a match step adds
+ * llp(0) (the code-base term the deltas telescope from) + offset-code +
+ * match-length-code prices. Trailing literals after the last sequence
+ * carry no LL cost, matching the format.
+ *
+ * This is host-native on purpose: the DP is byte-serial and branchy — the
+ * one part of the encoder that does not map to the TPU vector units — while
+ * the level 1-12 paths run as batched device kernels.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+#include <math.h>
+
+#define MINMATCH 3
+#define PINF ((int64_t)1 << 60)
+#define SCALE 256            /* price unit: 1/256 bit */
+#define MAX_CAND 64          /* max distinct-length candidates per position */
+#define RELAX_CAP 96         /* relax all lengths up to this; plus the max */
+#define SEQ_BIAS 16          /* tiny per-sequence bias (1/16 bit) */
+
+/* ---- format code tables (RFC 8878 sequence codes) ---- */
+
+static const uint32_t LL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536};
+static const uint8_t LL_BITS[36] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const uint32_t ML_BASE[53] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37,
+    39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+    4099, 8195, 16387, 32771, 65539};
+static const uint8_t ML_BITS[53] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+    1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+
+static inline uint32_t highbit(uint32_t v) { return 31 - __builtin_clz(v); }
+
+static inline uint32_t ml_code_exact(uint32_t mlb) { /* mlb = len - 3 */
+    if (mlb <= 31) return mlb;
+    uint32_t lo = 32, hi = 52, l = mlb + 3;
+    while (lo < hi) {
+        uint32_t mid = (lo + hi + 1) >> 1;
+        if (ML_BASE[mid] <= l) lo = mid; else hi = mid - 1;
+    }
+    return lo;
+}
+
+static inline uint32_t ll_code_exact(uint32_t ll) {
+    if (ll <= 15) return ll;
+    uint32_t lo = 16, hi = 35;
+    while (lo < hi) {
+        uint32_t mid = (lo + hi + 1) >> 1;
+        if (LL_BASE[mid] <= ll) lo = mid; else hi = mid - 1;
+    }
+    return lo;
+}
+
+/* ---- price model ---- */
+
+typedef struct {
+    uint32_t lit[256], llc[36], mlc[53], ofc[32];
+    uint32_t lit_tot, ll_tot, ml_tot, of_tot;
+    int64_t lit_price[256], ll_price[36], ml_price[53], of_price[32];
+} Prices;
+
+static int64_t log2_frac(uint32_t num, uint32_t den) {
+    return (int64_t)(log2((double)num / (double)den) * SCALE + 0.5);
+}
+
+static void prices_rebuild(Prices* P) {
+    for (int i = 0; i < 256; i++)
+        P->lit_price[i] = log2_frac(P->lit_tot + 256, P->lit[i] + 1);
+    for (int i = 0; i < 36; i++)
+        P->ll_price[i] = log2_frac(P->ll_tot + 36, P->llc[i] + 1)
+                         + (int64_t)SCALE * LL_BITS[i];
+    for (int i = 0; i < 53; i++)
+        P->ml_price[i] = log2_frac(P->ml_tot + 53, P->mlc[i] + 1)
+                         + (int64_t)SCALE * ML_BITS[i];
+    for (int i = 0; i < 32; i++)
+        P->of_price[i] = log2_frac(P->of_tot + 32, P->ofc[i] + 1)
+                         + (int64_t)SCALE * i;  /* ofCode == nb extra bits */
+}
+
+static inline int64_t llp(const Prices* P, uint32_t ll) {
+    return P->ll_price[ll_code_exact(ll)];
+}
+
+/* ---- LCP ---- */
+
+static inline int64_t lcp(const uint8_t* a, const uint8_t* b, int64_t limit) {
+    int64_t n = 0;
+    while (n + 8 <= limit) {
+        uint64_t xa, xb;
+        memcpy(&xa, a + n, 8);
+        memcpy(&xb, b + n, 8);
+        uint64_t x = xa ^ xb;
+        if (x) return n + (__builtin_ctzll(x) >> 3);
+        n += 8;
+    }
+    while (n < limit && a[n] == b[n]) n++;
+    return n;
+}
+
+/* ---- hash chains ---- */
+
+#define HASH3_LOG 16
+
+typedef struct {
+    int32_t* head;       /* [1<<hash_log] most recent position or -1 */
+    int32_t* chain;      /* [n_total] prev same-bucket position or -1 */
+    int32_t* head3;      /* [1<<HASH3_LOG] most recent 3-byte match or -1 */
+    int hash_log;
+    int64_t base_pos;    /* chain index = pos - base_pos */
+} Chains;
+
+static inline uint32_t hash4(const uint8_t* p, int hash_log) {
+    uint32_t v;
+    memcpy(&v, p, 4);
+    return (uint32_t)((uint64_t)v * 2654435761u >> (32 - hash_log)) &
+           ((1u << hash_log) - 1);
+}
+
+static inline uint32_t hash3(const uint8_t* p) {
+    uint32_t v = p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+    return (v * 506832829u) >> (32 - HASH3_LOG);
+}
+
+static inline void chains_insert(Chains* C, const uint8_t* base, int64_t pos) {
+    uint32_t h = hash4(base + pos, C->hash_log);
+    C->chain[pos - C->base_pos] = C->head[h];
+    C->head[h] = (int32_t)pos;
+    C->head3[hash3(base + pos)] = (int32_t)pos;
+}
+
+typedef struct { uint32_t len; uint32_t dist; } Match;
+
+/* matches with strictly increasing length, walking recent -> old, so each
+   length is achieved at its smallest available distance */
+static int find_matches(const Chains* C, const uint8_t* base, int64_t pos,
+                        int64_t window_low, int64_t limit_pos, int attempts,
+                        Match* out) {
+    int n = 0;
+    uint32_t best = MINMATCH - 1;
+    /* 3-byte probe: closest short match (len >= 3) */
+    {
+        int32_t c3 = C->head3[hash3(base + pos)];
+        if (c3 >= 0 && c3 >= window_low && (int64_t)c3 < pos) {
+            int64_t l = lcp(base + pos, base + c3, limit_pos - pos);
+            if (l >= 3) {
+                out[n].len = (uint32_t)l;
+                out[n].dist = (uint32_t)(pos - c3);
+                n++;
+                best = (uint32_t)l;
+                if ((uint32_t)l >= (uint32_t)(limit_pos - pos)) return n;
+            }
+        }
+    }
+    if (best < MINMATCH) best = MINMATCH;   /* chains provide len >= 4 */
+    uint32_t h = hash4(base + pos, C->hash_log);
+    int32_t cand = C->head[h];
+    int64_t limit = limit_pos - pos;
+    while (cand >= 0 && cand >= window_low && attempts-- > 0) {
+        if ((int64_t)cand < pos) {
+            int64_t l = lcp(base + pos, base + cand, limit);
+            if ((uint32_t)l > best) {
+                out[n].len = (uint32_t)l;
+                out[n].dist = (uint32_t)(pos - cand);
+                n++;
+                best = (uint32_t)l;
+                if (n >= MAX_CAND || l >= limit) break;
+            }
+        }
+        cand = C->chain[cand - C->base_pos];
+    }
+    return n;
+}
+
+/* ---- DP cells ---- */
+
+typedef struct {
+    int64_t price;
+    uint32_t ml;       /* 0 = literal step arrived here */
+    uint32_t ob;       /* offBase of arriving match */
+    uint32_t ll;       /* literal run consumed by arriving match */
+    uint32_t rep[3];
+    uint32_t litrun;   /* pending literal run at this cell */
+} Cell;
+
+static inline uint32_t off_base(uint32_t d, uint32_t ll, const uint32_t* rep) {
+    if (ll != 0) {
+        if (d == rep[0]) return 1;
+        if (d == rep[1]) return 2;
+        if (d == rep[2]) return 3;
+    } else {
+        if (d == rep[1]) return 1;
+        if (d == rep[2]) return 2;
+        if (d == rep[0] - 1 && d > 0) return 3;
+    }
+    return d + 3;
+}
+
+static inline void rep_update(const uint32_t* rep, uint32_t ob, uint32_t ll,
+                              uint32_t* out) {
+    if (ob > 3) {
+        out[0] = ob - 3; out[1] = rep[0]; out[2] = rep[1];
+        return;
+    }
+    uint32_t idx = ob + (ll == 0 ? 1 : 0);
+    if (idx == 1) { out[0] = rep[0]; out[1] = rep[1]; out[2] = rep[2]; }
+    else if (idx == 2) { out[0] = rep[1]; out[1] = rep[0]; out[2] = rep[2]; }
+    else if (idx == 3) { out[0] = rep[2]; out[1] = rep[0]; out[2] = rep[1]; }
+    else { out[0] = rep[0] - 1; out[1] = rep[0]; out[2] = rep[1]; }
+}
+
+static inline void relax(Cell* cells, int64_t i, uint32_t l, int64_t np,
+                         uint32_t ob, uint32_t ll, const uint32_t* rep_src) {
+    Cell* t = &cells[i + l];
+    if (np < t->price) {
+        t->price = np; t->ml = l; t->ob = ob; t->ll = ll; t->litrun = 0;
+        rep_update(rep_src, ob, ll, t->rep);
+    }
+}
+
+/* greedy statistics pass: longest-match commit, collects code histograms */
+static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
+                       int64_t window_low, const uint32_t* reps0,
+                       Chains* C, int attempts, Prices* P) {
+    uint32_t rep[3] = {reps0[0], reps0[1], reps0[2]};
+    int64_t ip = bs, anchor = bs;
+    Match m[MAX_CAND];
+    while (ip + 8 < be) {
+        chains_insert(C, base, ip);
+        uint32_t bl = 0, bd = 0;
+        for (int r = 0; r < 3; r++) {
+            uint32_t d = rep[r];
+            if (d == 0 || ip - (int64_t)d < window_low) continue;
+            if (memcmp(base + ip, base + ip - d, 4) == 0) {
+                int64_t l = 4 + lcp(base + ip + 4, base + ip - d + 4,
+                                    be - ip - 4);
+                if ((uint32_t)l > bl) { bl = (uint32_t)l; bd = d; }
+            }
+        }
+        int nm = find_matches(C, base, ip, window_low, be, attempts, m);
+        if (nm > 0 && m[nm - 1].len > bl + 1) {
+            bl = m[nm - 1].len;
+            bd = m[nm - 1].dist;
+        }
+        if (bl >= 4) {
+            uint32_t ll = (uint32_t)(ip - anchor);
+            uint32_t ob = off_base(bd, ll, rep);
+            for (int64_t q = anchor; q < ip; q++) { P->lit[base[q]]++; }
+            P->lit_tot += ll;
+            P->llc[ll_code_exact(ll)]++; P->ll_tot++;
+            P->mlc[ml_code_exact(bl - MINMATCH)]++; P->ml_tot++;
+            P->ofc[highbit(ob)]++; P->of_tot++;
+            uint32_t nr[3]; rep_update(rep, ob, ll, nr);
+            rep[0] = nr[0]; rep[1] = nr[1]; rep[2] = nr[2];
+            int64_t end = ip + bl;
+            for (int64_t q = ip + 1; q < end && q + 4 <= be; q += 2)
+                chains_insert(C, base, q);
+            ip = end; anchor = end;
+        } else {
+            ip++;
+        }
+    }
+    for (int64_t q = anchor; q < be; q++) { P->lit[base[q]]++; P->lit_tot++; }
+}
+
+int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
+                     int64_t block_start, int64_t block_end,
+                     uint32_t* reps,
+                     int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
+                     int64_t seq_cap,
+                     int hash_log, int search_log, int min_match,
+                     int target_len) {
+    (void)min_match; (void)target_len;
+    int64_t n = block_end - block_start;
+    if (n < 16) return 0;
+    if (hash_log > 24) hash_log = 24;
+    if (hash_log < 12) hash_log = 12;
+    /* deep chain walk: each attempt is one candidate visit; the dense walk
+       substitutes for the reference's binary-tree search quality */
+    int attempts = 1 << (search_log < 4 ? 4 : (search_log > 10 ? 10 : search_log));
+    if (attempts < 256) attempts = 256;
+
+    int64_t n_total = block_end - window_low;
+    Chains C;
+    C.hash_log = hash_log;
+    C.base_pos = window_low;
+    size_t head_bytes = sizeof(int32_t) << hash_log;
+    size_t head3_bytes = sizeof(int32_t) << HASH3_LOG;
+    C.head = malloc(head_bytes);
+    C.chain = malloc(sizeof(int32_t) * (size_t)n_total);
+    C.head3 = malloc(head3_bytes);
+    int32_t* head_copy = malloc(head_bytes);
+    int32_t* head3_copy = malloc(head3_bytes);
+    Cell* cells = malloc(sizeof(Cell) * (size_t)(n + 1));
+    Match* m = malloc(sizeof(Match) * MAX_CAND);
+    int64_t rc = -1;
+    if (!C.head || !C.chain || !C.head3 || !head_copy || !head3_copy ||
+        !cells || !m) goto done;
+    memset(C.head, -1, head_bytes);
+    memset(C.head3, -1, head3_bytes);
+
+    for (int64_t p = window_low; p + 4 <= block_start; p++)
+        chains_insert(&C, base, p);
+    memcpy(head_copy, C.head, head_bytes);
+    memcpy(head3_copy, C.head3, head3_bytes);
+
+    /* pass 1: statistics */
+    Prices P;
+    memset(&P, 0, sizeof(P));
+    stats_pass(base, block_start, block_end, window_low, reps, &C,
+               attempts > 64 ? 64 : attempts, &P);
+    prices_rebuild(&P);
+
+    /* pass 2+: iterated DP (second iteration re-prices from the first
+       iteration's own parse — the btultra2 self-seeding idea) */
+    int n_iters = (n >= 4096) ? 2 : 1;
+    for (int iter = 0; iter < n_iters; iter++) {
+    memcpy(C.head, head_copy, head_bytes);   /* reset to prefix state */
+    memcpy(C.head3, head3_copy, head3_bytes);
+
+    for (int64_t i = 0; i <= n; i++) { cells[i].price = PINF; cells[i].litrun = 0; }
+    cells[0].price = 0;
+    cells[0].ml = 0;
+    cells[0].rep[0] = reps[0]; cells[0].rep[1] = reps[1];
+    cells[0].rep[2] = reps[2];
+
+    for (int64_t i = 0; i < n; i++) {
+        Cell* c = &cells[i];
+        int64_t pos = block_start + i;
+        if (pos + 4 <= block_end) chains_insert(&C, base, pos);
+        if (c->price >= PINF) continue;
+
+        /* literal step: lit price + incremental LL-code delta */
+        {
+            uint32_t lr = c->litrun;
+            int64_t np = c->price + P.lit_price[base[pos]]
+                         + (llp(&P, lr + 1) - llp(&P, lr));
+            Cell* t = &cells[i + 1];
+            if (np < t->price) {
+                t->price = np;
+                t->ml = 0;
+                t->litrun = lr + 1;
+                t->rep[0] = c->rep[0]; t->rep[1] = c->rep[1];
+                t->rep[2] = c->rep[2];
+            }
+        }
+
+        if (pos + 8 >= block_end) continue;   /* tail stays literal */
+        int64_t limit = block_end - pos;
+        uint32_t ll = c->litrun;
+        /* match base: cell price already holds llp(ll)-llp(0); add the base */
+        int64_t mbase = c->price + P.ll_price[0] + SEQ_BIAS;
+
+        /* rep matches (len >= 3) */
+        for (int r = 0; r < 3; r++) {
+            uint32_t d;
+            if (ll != 0) d = c->rep[r];
+            else d = (r == 0) ? c->rep[1] : (r == 1) ? c->rep[2]
+                              : (c->rep[0] > 1 ? c->rep[0] - 1 : 0);
+            uint32_t ob = r + 1;
+            if (d == 0 || pos - (int64_t)d < window_low) continue;
+            if (memcmp(base + pos, base + pos - d, 3) != 0) continue;
+            int64_t L64 = 3 + lcp(base + pos + 3, base + pos - d + 3,
+                                  limit - 3);
+            uint32_t L = (uint32_t)L64;
+            int64_t ofp = P.of_price[highbit(ob)];
+            uint32_t cap = L < RELAX_CAP ? L : RELAX_CAP;
+            for (uint32_t l = 3; l <= cap; l++)
+                relax(cells, i, l,
+                      mbase + ofp + P.ml_price[ml_code_exact(l - MINMATCH)],
+                      ob, ll, c->rep);
+            if (L > cap)
+                relax(cells, i, L,
+                      mbase + ofp + P.ml_price[ml_code_exact(L - MINMATCH)],
+                      ob, ll, c->rep);
+        }
+
+        /* chain matches (len >= 3 via hash3, >= 4 via chains) */
+        int nm = find_matches(&C, base, pos, window_low, block_end,
+                              attempts, m);
+        uint32_t from_len = MINMATCH;
+        for (int k = 0; k < nm; k++) {
+            uint32_t L = m[k].len;
+            uint32_t d = m[k].dist;
+            uint32_t ob = off_base(d, ll, c->rep);
+            int64_t ofp = P.of_price[highbit(ob)];
+            uint32_t cap = L < RELAX_CAP ? L : RELAX_CAP;
+            for (uint32_t l = from_len; l <= cap; l++)
+                relax(cells, i, l,
+                      mbase + ofp + P.ml_price[ml_code_exact(l - MINMATCH)],
+                      ob, ll, c->rep);
+            if (L > cap)
+                relax(cells, i, L,
+                      mbase + ofp + P.ml_price[ml_code_exact(L - MINMATCH)],
+                      ob, ll, c->rep);
+            from_len = L + 1;
+        }
+    }
+
+    if (iter + 1 < n_iters) {
+        /* re-collect histograms from this parse for the next iteration */
+        memset(P.lit, 0, sizeof(P.lit)); memset(P.llc, 0, sizeof(P.llc));
+        memset(P.mlc, 0, sizeof(P.mlc)); memset(P.ofc, 0, sizeof(P.ofc));
+        P.lit_tot = P.ll_tot = P.ml_tot = P.of_tot = 0;
+        int64_t i = n;
+        while (i > 0) {
+            if (cells[i].price >= PINF) break;
+            if (cells[i].ml > 0) {
+                uint32_t ll = cells[i].ll, ml = cells[i].ml, ob = cells[i].ob;
+                int64_t start = i - ml - ll;
+                for (int64_t q = start; q < start + ll; q++)
+                    P.lit[base[block_start + q]]++;
+                P.lit_tot += ll;
+                P.llc[ll_code_exact(ll)]++; P.ll_tot++;
+                P.mlc[ml_code_exact(ml - MINMATCH)]++; P.ml_tot++;
+                P.ofc[highbit(ob)]++; P.of_tot++;
+                i = start;
+            } else {
+                P.lit[base[block_start + i - 1]]++;
+                P.lit_tot++;
+                i--;
+            }
+        }
+        prices_rebuild(&P);
+    }
+    }  /* iter loop */
+
+    /* backtrack */
+    {
+        int64_t nseq = 0, i = n;
+        while (i > 0) {
+            if (cells[i].price >= PINF) goto done;
+            if (cells[i].ml > 0) { nseq++; i -= cells[i].ml + cells[i].ll; }
+            else i--;
+        }
+        if (nseq > seq_cap) goto done;
+        int64_t k = nseq;
+        i = n;
+        while (i > 0) {
+            if (cells[i].ml > 0) {
+                k--;
+                ll_out[k] = (int32_t)cells[i].ll;
+                ob_out[k] = (int32_t)cells[i].ob;
+                mb_out[k] = (int32_t)(cells[i].ml - MINMATCH);
+                i -= cells[i].ml + cells[i].ll;
+            } else i--;
+        }
+        reps[0] = cells[n].rep[0];
+        reps[1] = cells[n].rep[1];
+        reps[2] = cells[n].rep[2];
+        rc = nseq;
+    }
+
+done:
+    free(C.head); free(C.chain); free(C.head3);
+    free(head_copy); free(head3_copy); free(cells); free(m);
+    return rc;
+}

@@ -61,7 +61,11 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
     if n < MIN_MATCH + 1 + 8:
         return raw
 
-    if cparams.strategy >= 2:  # Strategy.DFAST and up: lazy-class ladder
+    if cparams.strategy >= 6:  # Strategy.BTLAZY2 and up: native optimal parser
+        from .opt import find_sequences_opt
+        seqs, new_reps = find_sequences_opt(
+            full, block_start, block_end, window_low, state.reps, cparams)
+    elif cparams.strategy >= 2:  # Strategy.DFAST and up: lazy-class ladder
         from .lazy import find_sequences_lazy
         seqs, new_reps = find_sequences_lazy(
             full, block_start, block_end, window_low, state.reps, cparams)

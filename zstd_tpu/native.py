@@ -26,9 +26,44 @@ class _Native:
         self._lib = lib
         lib.zt_xxh64.restype = ctypes.c_uint64
         lib.zt_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        lib.zt_opt_parse.restype = ctypes.c_int64
+        lib.zt_opt_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
 
     def xxh64(self, data: bytes, seed: int = 0) -> int:
         return self._lib.zt_xxh64(data, len(data), seed)
+
+    def opt_parse(self, full, window_low: int, block_start: int,
+                  block_end: int, reps: tuple, hash_log: int,
+                  search_log: int, min_match: int, target_len: int):
+        """Optimal-parse one block. Returns (ll, ob, mb, new_reps) int32
+        arrays, or None if the native parser declined (fallback to lazy)."""
+        import numpy as np
+        n = block_end - block_start
+        seq_cap = n // 2 + 16
+        ll = np.zeros(seq_cap, dtype=np.int32)
+        ob = np.zeros(seq_cap, dtype=np.int32)
+        mb = np.zeros(seq_cap, dtype=np.int32)
+        reps_arr = np.array(reps, dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        nseq = self._lib.zt_opt_parse(
+            full.ctypes.data_as(u8p), window_low, block_start, block_end,
+            reps_arr.ctypes.data_as(u32p),
+            ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
+            mb.ctypes.data_as(i32p), seq_cap,
+            hash_log, search_log, min_match, target_len)
+        if nseq < 0:
+            return None
+        return (ll[:nseq], ob[:nseq], mb[:nseq],
+                (int(reps_arr[0]), int(reps_arr[1]), int(reps_arr[2])))
 
 
 def _try_build() -> bool:
