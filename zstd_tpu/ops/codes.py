@@ -48,10 +48,17 @@ def seq_codes_block(ll: jax.Array, off: jax.Array, ml: jax.Array,
     mlc = jnp.where(valid, mlc, 0)
     ofc = jnp.where(valid, ofc, 0)
 
+    # one-hot reductions, not scatter-adds: TPU scatters serialize, while the
+    # masked-equality reduce vectorizes on the VPU (SURVEY §2.2 hist row)
     w = valid.astype(jnp.int32)
-    ll_hist = jnp.zeros(MAX_LL_CODE + 1, jnp.int32).at[llc].add(w, mode="drop")
-    ml_hist = jnp.zeros(MAX_ML_CODE + 1, jnp.int32).at[mlc].add(w, mode="drop")
-    of_hist = jnp.zeros(MAX_OFF_CODE + 1, jnp.int32).at[ofc].add(w, mode="drop")
+
+    def _hist(codes, nbins):
+        oh = codes[:, None] == jnp.arange(nbins, dtype=jnp.int32)[None, :]
+        return jnp.sum(jnp.where(oh, w[:, None], 0), axis=0)
+
+    ll_hist = _hist(llc, MAX_LL_CODE + 1)
+    ml_hist = _hist(mlc, MAX_ML_CODE + 1)
+    of_hist = _hist(ofc, MAX_OFF_CODE + 1)
 
     last = jnp.clip(nb_seq - 1, 0, cap - 1)
     last_codes = jnp.stack([llc[last], ofc[last], mlc[last]])

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +50,15 @@ from .ops.codes import seq_codes_block
 
 enable_compile_cache()
 
+
+@functools.cache
+def _use_pallas() -> bool:
+    """Serial-resolve Pallas kernel on real accelerators; the XLA
+    pointer-doubling path on CPU (pallas interpret mode is too slow)."""
+    if os.environ.get("ZSTD_TPU_NO_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu",)
+
 _STATS_LIT_HIST = 0          # [4, 256]
 _STATS_LL = 1024             # [36]
 _STATS_ML = 1060             # [53]
@@ -57,10 +67,16 @@ _STATS_TAIL = 1145           # last_codes[3], nb_seq, nb_lit, all_same, first_li
 STATS_LEN = 1152
 
 
-@functools.partial(jax.jit, static_argnames=("hash_log", "mls", "seq_cap"))
-def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap):
+@functools.partial(jax.jit,
+                   static_argnames=("hash_log", "mls", "seq_cap", "use_pallas"))
+def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap,
+                 use_pallas=False):
     """Device program A. Returns (stats i32[B, STATS_LEN], resident dict)."""
-    res = extract_batch(blocks, valid_lens, hash_log, mls, seq_cap)
+    if use_pallas:
+        from .ops.seqextract import extract_batch_pallas
+        res = extract_batch_pallas(blocks, valid_lens, hash_log, mls, seq_cap)
+    else:
+        res = extract_batch(blocks, valid_lens, hash_log, mls, seq_cap)
     lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
 
     n = blocks.shape[1]
@@ -70,8 +86,16 @@ def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap):
         codes = seq_codes_block(ll, off, ml, nb_seq)
         seg = jnp.maximum((nb_lit + 3) // 4, 1)
         stream = jnp.clip(j // seg, 0, 3)
-        lv = (j < nb_lit).astype(jnp.int32)
-        lit_hist4 = jnp.zeros((4, 256), jnp.int32).at[stream, lit_row].add(lv)
+        lv = (j < nb_lit).astype(jnp.float32)
+        # per-stream byte histogram as an MXU matmul (f32 exact below 2^24),
+        # not a scatter-add: TPU scatters serialize
+        stream_oh = (stream[:, None] ==
+                     jnp.arange(4, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+        lit_oh = (lit_row[:, None] ==
+                  jnp.arange(256, dtype=jnp.int32)[None, :]).astype(jnp.float32)
+        lit_hist4 = jnp.einsum("ns,nv->sv", stream_oh * lv[:, None], lit_oh,
+                               preferred_element_type=jnp.float32)
+        lit_hist4 = lit_hist4.astype(jnp.int32)
         all_same = jnp.all((block == block[0]) | (j >= vlen))
         stats = jnp.concatenate([
             lit_hist4.reshape(-1),
@@ -242,7 +266,7 @@ class TpuCompressor:
             stats, resident = _analyze_jit(
                 jnp.asarray(blocks), jnp.asarray(lens),
                 cparams.hash_log, min(max(cparams.min_match, 4), 8),
-                max(block_size // 4, 8))
+                max(block_size // 4, 8), use_pallas=_use_pallas())
             stageA[k] = (lens, stats, resident)
 
         for k in range(len(batches)):
