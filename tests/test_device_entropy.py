@@ -75,13 +75,14 @@ def test_fse_pack_matches_host():
             st, dn, df, tl = _pad_ct(ct)
             sts.append(st); dns.append(dn); dfs.append(df); tls.append(tl)
         OUT_W = (CAP * 90) // 32 + 4
-        words, bits = fse_pack_batch(
+        words, bits, ovf = fse_pack_batch(
             jnp.asarray(padc(llc)), jnp.asarray(padc(mlc)), jnp.asarray(padc(ofc)),
             jnp.asarray(padc(ll)), jnp.asarray(padc(mlb)), jnp.asarray(padc(ob)),
             jnp.asarray(np.array([n], dtype=np.int32)),
             jnp.asarray(np.stack(sts)[None]), jnp.asarray(np.stack(dns)[None]),
             jnp.asarray(np.stack(dfs)[None]), jnp.asarray(np.array(tls, np.int32)[None]),
             CAP, OUT_W)
+        assert not bool(ovf[0])
         got = words_to_bytes_np(np.asarray(words[0]), int(bits[0]))
         assert got == expect, f"trial {trial} n={n}"
 
@@ -104,7 +105,7 @@ def test_huf_pack_4x_matches_host():
         lits[:n] = arr
         seg_cap = (L_CAP + 3) // 4
         out_w = (seg_cap * 12) // 32 + 4
-        words, bits = huf_pack_4x_batch(
+        words, bits, ovf = huf_pack_4x_batch(
             jnp.asarray(lits[None]), jnp.asarray(np.array([n], np.int32)),
             jnp.asarray(ct.nb_bits[None].astype(np.int32)),
             jnp.asarray(ct.value[None].astype(np.int32)),

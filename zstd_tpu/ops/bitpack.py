@@ -50,6 +50,56 @@ def pack_bits(values: jax.Array, nbits: jax.Array, out_words: int
     return words, total_bits
 
 
+def pack_bits_gather(values: jax.Array, nbits: jax.Array, out_words: int,
+                     k_max: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather-flavor bitpack: same contract as pack_bits, but assembled
+    per-output-word with searchsorted + a K-field OR window instead of
+    scatter-adds (TPU scatters serialize; gathers vectorize).
+
+    Returns (words u32[out_words], total_bits i32, overflow bool). overflow
+    is True when some word is touched by more than k_max fields (possible
+    only with runs of zero-width fields); the caller must fall back then.
+    """
+    m = values.shape[0]
+    values = values.astype(jnp.uint32)
+    nbits = nbits.astype(jnp.int32)
+    mask = (jnp.uint32(1) << nbits.astype(jnp.uint32)) - jnp.uint32(1)
+    v = values & mask
+
+    offs = jnp.cumsum(nbits) - nbits            # exclusive start bit
+    total_bits = jnp.where(m > 0, offs[-1] + nbits[-1], 0).astype(jnp.int32)
+
+    w = jnp.arange(out_words, dtype=jnp.int32)
+    bit0 = w * 32
+    # last field with off <= bit0 may cross into this word
+    f0 = jnp.searchsorted(offs, bit0, side="right").astype(jnp.int32) - 1
+    f0 = jnp.maximum(f0, 0)
+
+    acc = jnp.zeros(out_words, dtype=jnp.uint32)
+    for k in range(k_max):
+        j = jnp.minimum(f0 + k, m - 1)
+        off = offs[j]
+        nb = nbits[j]
+        val = v[j]
+        rel = off - bit0                         # may be negative (crossing)
+        inside = (off + nb > bit0) & (off < bit0 + 32) & (nb > 0)
+        lsh = jnp.clip(rel, 0, 31).astype(jnp.uint32)
+        rsh = jnp.clip(-rel, 0, 31).astype(jnp.uint32)
+        contrib = jnp.where(rel >= 0, val << lsh, val >> rsh)
+        acc = acc | jnp.where(inside, contrib, jnp.uint32(0))
+
+    # overflow detection: fields beginning inside each word (+1 for the
+    # crossing field) must fit the K window. Pure zero-width tail padding is
+    # excluded; interior zero-width fields are counted conservatively (may
+    # force an unnecessary fallback, never a wrong stream).
+    f_end = jnp.searchsorted(offs, bit0 + 32, side="left").astype(jnp.int32)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    last_nz = jnp.max(jnp.where(nbits > 0, idx, -1))
+    per_word = jnp.minimum(f_end, last_nz + 1) - jnp.minimum(f0, last_nz + 1)
+    overflow = jnp.any(per_word > k_max)
+    return acc, total_bits, overflow
+
+
 def words_to_bytes_np(words: np.ndarray, total_bits: int) -> bytes:
     """Host-side finalization: u32 LE words -> exact byte string."""
     nbytes = (int(total_bits) + 7) // 8

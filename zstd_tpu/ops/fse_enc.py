@@ -51,18 +51,21 @@ def fse_pack_block(llc, mlc, ofc, ll_x, ml_x, of_x, nb_seq,
                    cap: int, out_words: int):
     """One block. codes/extras i32[cap]; tables i32[3, ...]; tlogs i32[3].
 
-    Returns (words u32[out_words], total_bits i32)."""
+    Returns (words u32[out_words], total_bits i32, overflow bool)."""
 
     def step(carry, k):
         s_ll, s_of, s_ml = carry
-        i = nb_seq - 1 - k
+        # padding steps run FIRST (i >= nb_seq): their zero-width fields all
+        # sit at offset 0, where the gather-packer's searchsorted naturally
+        # skips them; real fields follow in last-to-first sequence order.
+        i = cap - 1 - k
         ii = jnp.clip(i, 0, cap - 1)
         lc, mc, oc = llc[ii], mlc[ii], ofc[ii]
         llb = _LL_BITS_J[jnp.clip(lc, 0, 35)]
         mlb = _ML_BITS_J[jnp.clip(mc, 0, 52)]
 
-        is_init = k == 0
-        valid = i >= 0
+        is_init = i == nb_seq - 1
+        valid = i < nb_seq
 
         # state-bit emissions (only for k >= 1)
         of_v, of_n, s_of2 = _encode_state(state_tables[T_OF], delta_nbs[T_OF],
@@ -125,7 +128,8 @@ def fse_pack_block(llc, mlc, ofc, ll_x, ml_x, of_x, nb_seq,
     ])
     values = jnp.concatenate([vals.reshape(-1), tail_vals])
     nbits = jnp.concatenate([nbs.reshape(-1), tail_nbs])
-    return pack_bits(values, nbits, out_words)
+    words, bits = pack_bits(values, nbits, out_words)
+    return words, bits, jnp.bool_(False)
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "out_words"))

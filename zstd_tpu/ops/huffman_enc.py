@@ -40,7 +40,7 @@ def huf_pack_4x_block(lits, nb_lit, nb_lut, val_lut, seg_cap, out_words,
 
     single (bool scalar, optional): 1-stream mode — everything goes into
     stream 0 (HUF_compress1X), streams 1-3 emit only their sentinel.
-    Returns (words u32[4, out_words], total_bits i32[4])."""
+    Returns (words u32[4, out_words], total_bits i32[4], overflow bool)."""
     seg4 = (nb_lit + 3) // 4
     if single is None:
         single = jnp.bool_(False)
@@ -56,7 +56,7 @@ def huf_pack_4x_block(lits, nb_lit, nb_lut, val_lut, seg_cap, out_words,
         return pack_bits(v, nb, out_words)
 
     words, bits = jax.vmap(one)(jnp.arange(4, dtype=jnp.int32))
-    return words, bits
+    return words, bits, jnp.bool_(False)
 
 
 @functools.partial(jax.jit, static_argnames=("seg_cap", "out_words"))

@@ -104,63 +104,16 @@ def extract_batch(blocks: jax.Array, valid_lens: jax.Array, hash_log: int,
     return fn(blocks, valid_lens)
 
 
-def _post_resolve(block, v, cands_row, pos, ln, nb, seq_cap):
-    """XLA post-pass on the kernel's compacted (pos, len): backward extension,
-    offsets, literal lengths, literal gather indices. All gather/scan ops —
-    the only scatter left is the final literal-index compaction."""
-    n = block.shape[0]
-    k = jnp.arange(seq_cap, dtype=jnp.int32)
-    valid = k < nb
-    posq = jnp.where(valid, pos, 0)
-    cnd = cands_row[posq]
-    off = jnp.where(valid, posq - cnd, 0)
-
-    # bounded backward extension (16 bytes), clamped by the previous
-    # (unextended) match end — mirrors extract_block's ext semantics
-    j = jnp.arange(16, dtype=jnp.int32)
-    ia = posq[:, None] - 1 - j[None, :]
-    ib = jnp.maximum(cnd, 0)[:, None] - 1 - j[None, :]
-    okr = (ia >= 0) & (ib >= 0) & valid[:, None]
-    eq = (block[jnp.maximum(ia, 0)] == block[jnp.maximum(ib, 0)]) & okr
-    ext = jnp.sum(jnp.cumprod(eq.astype(jnp.int32), axis=1), axis=1)
-    prev_end = jnp.where(k == 0, 0, jnp.roll(posq + ln, 1))
-    ext = jnp.minimum(ext, jnp.maximum(posq - prev_end, 0))
-    ext = jnp.where(valid, ext, 0)
-
-    start = posq - ext
-    length = jnp.where(valid, ln + ext, 0)
-    prev_m_end = jnp.where(k == 0, 0, jnp.roll(start + length, 1))
-    ll = jnp.where(valid, start - prev_m_end, 0)
-
-    # literal mask via searchsorted over the ordered match intervals
-    posn = jnp.arange(n, dtype=jnp.int32)
-    starts_s = jnp.where(valid, start, n)
-    ends_s = jnp.where(valid, start + length, n)
-    idx = jnp.searchsorted(starts_s, posn, side="right") - 1
-    inside = (idx >= 0) & (posn < ends_s[jnp.clip(idx, 0, seq_cap - 1)])
-    is_lit = (~inside) & (posn < v)
-    nb_lit = jnp.sum(is_lit.astype(jnp.int32))
-    lit_rank = jnp.cumsum(is_lit.astype(jnp.int32)) - 1
-    lit_idx = jnp.full(n, n - 1, dtype=jnp.int32)
-    lit_idx = lit_idx.at[jnp.where(is_lit, lit_rank, n)].set(posn, mode="drop")
-
-    return {
-        "nb_seq": nb,
-        "ll": ll,
-        "off": off,
-        "ml": length,
-        "lit_idx": lit_idx,
-        "nb_lit": nb_lit,
-        "overflow": nb >= seq_cap,
-    }
-
-
 def extract_batch_pallas(blocks: jax.Array, valid_lens: jax.Array,
                          hash_log: int, mls: int, seq_cap: int):
-    """TPU path: XLA propose + Pallas serial resolve + XLA post-pass.
-    Same output contract as extract_batch."""
+    """TPU path: XLA propose + Pallas serial full-seqstore kernel.
+
+    Returns the extract_batch contract plus "lits" (uint8[B, n]) — the
+    literal bytes already compacted on device (no lit_idx gather needed)."""
     from .match import hash_positions, prev_same_bucket, words_at
-    from .resolve_pallas import PAD, resolve_compact
+    from .resolve_pallas import PAD, extract_compact
+
+    n = blocks.shape[1]
 
     def prop(b, v):
         w32 = words_at(b)
@@ -170,7 +123,14 @@ def extract_batch_pallas(blocks: jax.Array, valid_lens: jax.Array,
     cands = jax.vmap(prop)(blocks, valid_lens)
     bp = jnp.pad(blocks.astype(jnp.int32), ((0, 0), (0, PAD)))
     cp = jnp.pad(cands, ((0, 0), (0, PAD)), constant_values=-1)
-    pos, lens, nb = resolve_compact(bp, cp, valid_lens, seq_cap)
-    return jax.vmap(
-        lambda b, v, c, p, l, m: _post_resolve(b, v, c, p, l, m, seq_cap)
-    )(blocks, valid_lens, cands, pos, lens, nb)
+    ll, off, ml, lits, nb, nb_lit = extract_compact(bp, cp, valid_lens,
+                                                    seq_cap)
+    return {
+        "nb_seq": nb,
+        "ll": ll,
+        "off": off,
+        "ml": ml,
+        "lits": lits[:, :n].astype(jnp.uint8),
+        "nb_lit": nb_lit,
+        "overflow": nb >= seq_cap,
+    }

@@ -75,9 +75,10 @@ def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap,
     if use_pallas:
         from .ops.seqextract import extract_batch_pallas
         res = extract_batch_pallas(blocks, valid_lens, hash_log, mls, seq_cap)
+        lits = res["lits"]
     else:
         res = extract_batch(blocks, valid_lens, hash_log, mls, seq_cap)
-    lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
+        lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
 
     n = blocks.shape[1]
     j = jnp.arange(n, dtype=jnp.int32)
@@ -134,25 +135,30 @@ def _pack_impl(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits, nb_lits,
 
     def per_block(llc_, mlc_, ofc_, llx_, mlb_, ob_, nb_seq, lit_row, nb_lit,
                   nb_lut, val_lut, st, dn, df, tl, single, lit_raw):
-        fse_words, fse_bits = fse_pack_block(
+        fse_words, fse_bits, _ = fse_pack_block(
             llc_[:cap], mlc_[:cap], ofc_[:cap], llx_[:cap], mlb_[:cap],
             ob_[:cap], jnp.minimum(nb_seq, cap), st, dn, df, tl,
             cap, out_w_fse)
-        huf_words, huf_bits = huf_pack_4x_block(
+        huf_words, huf_bits, _ = huf_pack_4x_block(
             lit_row, nb_lit, nb_lut, val_lut, seg_cap, out_w_huf,
             single=single)
         fse_nb = (fse_bits + 7) // 8
         huf_nb = (huf_bits + 7) // 8
+        # stream buffers are sized for typical densities; a block whose
+        # stream overflows its buffer is flagged and stored raw by the host
+        overflow = (fse_nb > out_w_fse * 4) | jnp.any(huf_nb > out_w_huf * 4)
         pieces = [_bytes_of_words(fse_words, fse_nb, out_w_fse * 4)]
         for s in range(4):
             pieces.append(_bytes_of_words(huf_words[s], huf_nb[s],
                                           out_w_huf * 4))
-        j = jnp.arange(n_lit_region, dtype=jnp.int32)
-        lit_bytes = jnp.where(lit_raw & (j < nb_lit), lit_row, 0)
-        pieces.append(lit_bytes.astype(jnp.uint8))
         out = jnp.concatenate(pieces)
-        sizes = jnp.concatenate([fse_nb.reshape(1), huf_nb])
-        return out, sizes
+        j = jnp.arange(n_lit_region, dtype=jnp.int32)
+        raw_lits = jnp.where(lit_raw & (j < nb_lit), lit_row,
+                             0).astype(jnp.uint8)
+        sizes = jnp.concatenate([
+            fse_nb.reshape(1), huf_nb,
+            overflow.astype(jnp.int32).reshape(1)])
+        return out, sizes, raw_lits
 
     return jax.vmap(per_block)(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits,
                                nb_lits, nb_luts, val_luts, sts, dns, dfs,
@@ -355,25 +361,30 @@ class TpuCompressor:
             max_seq = max(max_seq, nb_seq)
 
         cap = _seq_cap_bucket(max_seq)
-        out_w_fse = (cap * 90) // 32 + 4
+        # typical-density buffer sizing (overflow -> host raw fallback):
+        # ~32 bits/sequence, ~10 bits/literal
+        out_w_fse = cap + 8
         seg_cap = (block_size + 3) // 4
-        out_w_huf = (seg_cap * 12) // 32 + 4
+        out_w_huf = (seg_cap * 10) // 32 + 4
         r = resident
-        outbuf, sizes = _pack_impl(
+        outbuf, sizes, raw_lits = _pack_impl(
             r["llc"], r["mlc"], r["ofc"], r["llx"], r["mlb"], r["ob"],
             r["nb_seq"], r["lits"], r["nb_lit"],
             jnp.asarray(nb_luts), jnp.asarray(val_luts),
             jnp.asarray(sts), jnp.asarray(dns), jnp.asarray(dfs),
             jnp.asarray(tls), jnp.asarray(singles), jnp.asarray(lit_raw),
             cap, out_w_fse, seg_cap, out_w_huf)
-        stageB[k] = (plans, outbuf, sizes, out_w_fse, out_w_huf)
+        stageB[k] = (plans, outbuf, sizes, raw_lits, out_w_fse, out_w_huf,
+                     bool(lit_raw.any()))
         del stageA[k]
 
     # ------------------------------------------------------------------
     def _finalize(self, k, stageA, stageB, arr, batches, block_size,
                   cparams: CParams):
-        plans, outbuf_d, sizes_d, out_w_fse, out_w_huf = stageB[k]
+        (plans, outbuf_d, sizes_d, raw_lits_d, out_w_fse, out_w_huf,
+         any_raw) = stageB[k]
         outbuf = np.asarray(outbuf_d)
+        raw_lits = np.asarray(raw_lits_d) if any_raw else None
         sizes = np.asarray(sizes_d)
         bs, be = batches[k]
         strategy = cparams.strategy
@@ -381,7 +392,6 @@ class TpuCompressor:
         results = []
         fse_off = 0
         huf_off = out_w_fse * 4
-        lit_off = huf_off + 4 * out_w_huf * 4
 
         for j, p in enumerate(plans):
             blen = p["blen"]
@@ -390,6 +400,14 @@ class TpuCompressor:
             raw = (src.tobytes(), BT_RAW, blen)
             if blen < MIN_MATCH + 1 + 8:
                 results.append(raw)
+                continue
+            if int(sizes[j, 5]):
+                # bitpack K-window overflow (pathological zero-width-field
+                # density): store raw; never emit a possibly-wrong stream
+                if p["all_same"] and blen > 1:
+                    results.append((src[:1].tobytes(), BT_RLE, blen))
+                else:
+                    results.append(raw)
                 continue
             buf = outbuf[j]
             lp = p["lit_plan"]
@@ -416,7 +434,7 @@ class TpuCompressor:
             elif lp.kind == "rle":
                 lit_section = _rle_lit_section(nb_lit, lp.first_byte)
             else:
-                lit_bytes = buf[lit_off : lit_off + nb_lit].tobytes()
+                lit_bytes = raw_lits[j, :nb_lit].tobytes()
                 lit_section = _raw_lit_header(nb_lit) + lit_bytes
 
             if p["nb_seq"]:
