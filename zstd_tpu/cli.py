@@ -46,6 +46,7 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("--dictID", type=int, default=0)
     p.add_argument("-T", "--threads", type=int, default=0, metavar="#")
     p.add_argument("--long", nargs="?", const=27, type=int, metavar="windowLog")
+    p.add_argument("--patch-from", dest="patch_from", metavar="FILE")
     p.add_argument("--no-check", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--engine", choices=["auto", "tpu", "host"], default="auto")
@@ -76,6 +77,10 @@ def _compress_bytes(data: bytes, args) -> bytes:
     if args.fast is not None:
         level = -args.fast
     checksum = not args.no_check
+    if args.patch_from:
+        from .format.codec import compress_patch
+        patch = open(args.patch_from, "rb").read()
+        return compress_patch(data, patch, level=level, checksum=checksum)
     engine = _pick_engine(args)
     if engine == "tpu" and level <= 2 and args.dictionary is None:
         from . import pipeline
@@ -87,12 +92,17 @@ def _compress_bytes(data: bytes, args) -> bytes:
         return compress_with_dict(data, d, level=level, checksum=checksum)
     window_log = args.long if args.long else None
     return zstd_tpu.compress(data, level=level, checksum=checksum,
-                             window_log=window_log)
+                             window_log=window_log,
+                             long_mode=args.long is not None)
 
 
 def _decompress_bytes(data: bytes, args) -> bytes:
     import zstd_tpu
     wlog_max = args.memory if args.memory else (args.long if args.long else 27)
+    if args.patch_from:
+        from .format.codec import decompress_patch
+        patch = open(args.patch_from, "rb").read()
+        return decompress_patch(data, patch, window_log_max=max(wlog_max, 31))
     if args.dictionary:
         from .dictionary import load_dictionary, decompress_with_dict
         d = load_dictionary(open(args.dictionary, "rb").read())

@@ -46,8 +46,8 @@ class BlockDState:
 
 
 def compress_block(full: np.ndarray, block_start: int, block_end: int,
-                   window_low: int, state: BlockCState, cparams
-                   ) -> tuple[bytes, int, BlockCState]:
+                   window_low: int, state: BlockCState, cparams,
+                   ldm_ctx=None) -> tuple[bytes, int, BlockCState]:
     """Compress one block. Returns (payload, block_type, next_state).
 
     block_type: 0 raw, 1 RLE, 2 compressed (constants.BT_*). The caller wraps
@@ -61,7 +61,12 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
     if n < MIN_MATCH + 1 + 8:
         return raw
 
-    if cparams.strategy >= 6:  # Strategy.BTLAZY2 and up: native optimal parser
+    if ldm_ctx is not None:  # --long: long-distance matcher wraps the inner one
+        from .ldm import find_sequences_ldm
+        seqs, new_reps = find_sequences_ldm(
+            full, block_start, block_end, window_low, state.reps, cparams,
+            ldm_ctx)
+    elif cparams.strategy >= 6:  # Strategy.BTLAZY2 and up: native optimal parser
         from .opt import find_sequences_opt
         seqs, new_reps = find_sequences_opt(
             full, block_start, block_end, window_low, state.reps, cparams)

@@ -15,13 +15,47 @@ from .frame import compress_frame, decompress_frame, is_skippable
 
 
 def compress(data: bytes, level: int = 3, checksum: bool = False,
-             window_log: int | None = None) -> bytes:
-    """One-shot compression into a single zstd frame."""
+             window_log: int | None = None, long_mode: bool = False) -> bytes:
+    """One-shot compression into a single zstd frame.
+
+    long_mode: enable the long-distance matcher (--long analog); pair with
+    an explicit window_log for windows beyond the level default."""
     cparams = get_cparams(level, len(data))
     if window_log is not None:
         import dataclasses
         cparams = dataclasses.replace(cparams, window_log=window_log)
-    return compress_frame(data, cparams, checksum=checksum)
+    return compress_frame(data, cparams, checksum=checksum,
+                          long_mode=long_mode)
+
+
+def compress_patch(data: bytes, patch: bytes, level: int = 3,
+                   checksum: bool = False) -> bytes:
+    """--patch-from analog: compress `data` as a delta against `patch`
+    (ZSTD_CCtx_refPrefix semantics; the decoder needs the same patch)."""
+    total = len(patch) + len(data)
+    wlog = max(total - 1, 1).bit_length()
+    wlog = min(max(wlog, 10), 30)
+    import dataclasses
+    cparams = dataclasses.replace(get_cparams(level, len(data)),
+                                  window_log=wlog)
+    return compress_frame(data, cparams, checksum=checksum, long_mode=True,
+                          prefix=patch)
+
+
+def decompress_patch(data: bytes, patch: bytes,
+                     window_log_max: int = 31) -> bytes:
+    """Decode frames produced with compress_patch / zstd --patch-from."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if is_skippable(data, pos):
+            size = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            pos += 8 + size
+            continue
+        content, pos = decompress_frame(data, pos, window_log_max,
+                                        prefix=patch)
+        out += content
+    return bytes(out)
 
 
 def decompress(data: bytes,

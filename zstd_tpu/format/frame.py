@@ -122,8 +122,13 @@ def parse_frame_header(data: bytes, window_log_max: int = WINDOWLOG_LIMIT_DEFAUL
                        single_segment, pos)
 
 
-def compress_frame(data: bytes, cparams: CParams, checksum: bool = False) -> bytes:
-    """One full zstd frame (ZSTD_compressContinue_internal driver shape)."""
+def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
+                   long_mode: bool = False, prefix: bytes = b"") -> bytes:
+    """One full zstd frame (ZSTD_compressContinue_internal driver shape).
+
+    prefix: raw window prefix (ZSTD_CCtx_refPrefix / --patch-from analog):
+    matches may reference it, but it is not emitted; the decoder must be
+    given the same prefix."""
     n = len(data)
     window_log = cparams.window_log
     out = bytearray(write_frame_header(n, window_log, checksum))
@@ -134,17 +139,26 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False) -> byt
             out += content_checksum(b"").to_bytes(4, "little")
         return bytes(out)
 
-    full = np.frombuffer(data, dtype=np.uint8)
+    p0 = len(prefix)
+    full = np.frombuffer(prefix + data, dtype=np.uint8)
     window_size = 1 << window_log
     block_size = min(window_size, BLOCK_MAX_SIZE)
     state = BlockCState()
-    pos = 0
+    ldm_ctx = None
+    if long_mode:
+        from .ldm import LdmState
+        ldm_ctx = LdmState(full, window_log)
+        if p0:
+            ldm_ctx.insert_upto(p0)
+    pos = p0
+    n += p0
     while pos < n:
         end = min(pos + block_size, n)
         last = end == n
         window_low = max(0, pos - window_size)
         payload, btype, state = compress_block(full, pos, end, window_low,
-                                               state, cparams)
+                                               state, cparams,
+                                               ldm_ctx=ldm_ctx)
         if btype == BT_RLE:
             bh = int(last) | (BT_RLE << 1) | ((end - pos) << 3)
         else:
@@ -157,16 +171,23 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False) -> byt
     return bytes(out)
 
 
+def decompress_frame_prefix(data: bytes, pos: int, prefix: bytes,
+                            window_log_max: int = 31) -> tuple[bytes, int]:
+    """Decode one frame whose window may reference `prefix` (--patch-from)."""
+    return decompress_frame(data, pos, window_log_max, prefix=prefix)
+
+
 def decompress_frame(data: bytes, pos: int,
-                     window_log_max: int = WINDOWLOG_LIMIT_DEFAULT
-                     ) -> tuple[bytes, int]:
+                     window_log_max: int = WINDOWLOG_LIMIT_DEFAULT,
+                     prefix: bytes = b"") -> tuple[bytes, int]:
     """Decode one zstd frame starting at data[pos:]; returns (content, end)."""
     hdr = parse_frame_header(data[pos:], window_log_max)
     if hdr.dict_id:
         raise ZstdError(ZstdErrorCode.dictionary_wrong,
                         "frame requires a dictionary (unsupported here)")
     pos += hdr.header_size
-    out = bytearray()
+    out = bytearray(prefix)
+    p0 = len(prefix)
     state = BlockDState()
     block_max = min(hdr.window_size or BLOCK_MAX_SIZE, BLOCK_MAX_SIZE)
     if hdr.single_segment and hdr.frame_content_size is not None:
@@ -203,18 +224,19 @@ def decompress_frame(data: bytes, pos: int,
             state = decompress_block(data[pos : pos + bsize], out, window_low,
                                      state, block_max)
             pos += bsize
-    if hdr.frame_content_size is not None and len(out) != hdr.frame_content_size:
-        raise Corruption(f"content size mismatch: {len(out)} != {hdr.frame_content_size}")
+    if hdr.frame_content_size is not None and len(out) - p0 != hdr.frame_content_size:
+        raise Corruption(
+            f"content size mismatch: {len(out) - p0} != {hdr.frame_content_size}")
     if hdr.checksum_flag:
         if pos + 4 > len(data):
             raise ZstdError(ZstdErrorCode.srcSize_wrong, "missing checksum")
         expect = int.from_bytes(data[pos : pos + 4], "little")
         pos += 4
-        got = content_checksum(bytes(out))
+        got = content_checksum(bytes(out[p0:]))
         if got != expect:
             raise ZstdError(ZstdErrorCode.checksum_wrong,
                             f"checksum 0x{got:08X} != 0x{expect:08X}")
-    return bytes(out), pos
+    return bytes(out[p0:]), pos
 
 
 def write_skippable_frame(user_data: bytes, variant: int = 0) -> bytes:
