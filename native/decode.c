@@ -1,0 +1,620 @@
+/* Native block decoder: the host-runtime hot decode loop.
+ *
+ * Same role as the reference's decoder core (zstd_decompress_block.c
+ * ZSTD_decompressBlock_internal, huf_decompress.c 4-stream loops, and the
+ * hand-scheduled huf_decompress_amd64.S — the hot serial loop done native)
+ * implemented from the RFC 8878 semantics mirrored by our Python oracle
+ * (zstd_tpu/format/{literals,sequences,fse,huffman,block}.py).
+ *
+ * Context carries entropy state across blocks of one frame (repeat-mode
+ * Huffman table and FSE tables, repcodes). The Python frame walker parses
+ * frame/block headers and calls zt_decompress_block per compressed block.
+ */
+
+#include <stdint.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define MAX_BLOCK (128 * 1024)
+
+/* ---- sequence code tables (RFC 8878) ---- */
+static const uint32_t LL_BASE[36] = {
+    0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536};
+static const uint8_t LL_BITS[36] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const uint32_t ML_BASE[53] = {
+    3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20,
+    21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37,
+    39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051,
+    4099, 8195, 16387, 32771, 65539};
+static const uint8_t ML_BITS[53] = {
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1,
+    1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+
+/* predefined distributions (RFC 8878 / zstd_internal.h) */
+static const int16_t LL_DEF[36] = {
+    4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1};
+static const int16_t ML_DEF[53] = {
+    1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1};
+static const int16_t OF_DEF[29] = {
+    1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
+#define LL_DEFLOG 6
+#define ML_DEFLOG 6
+#define OF_DEFLOG 5
+
+/* ---- backward bit reader ---- */
+typedef struct {
+    const uint8_t* start;
+    int64_t size;
+    int64_t bit_pos;      /* bits remaining below the sentinel */
+    int err;
+} BitRd;
+
+static int bitrd_init(BitRd* b, const uint8_t* src, int64_t size) {
+    b->start = src;
+    b->size = size;
+    b->err = 0;
+    if (size <= 0 || src[size - 1] == 0) { b->err = 1; return -1; }
+    uint8_t last = src[size - 1];
+    int high = 31 - __builtin_clz((uint32_t)last);
+    b->bit_pos = (size - 1) * 8 + high;
+    return 0;
+}
+
+static inline uint32_t bits_at(const BitRd* b, int64_t p, int nbits) {
+    /* value of bits [p, p+nbits); caller guarantees p >= 0 */
+    int64_t byte = p >> 3;
+    int off = (int)(p & 7);
+    uint64_t v;
+    if (byte + 8 <= b->size) {
+        memcpy(&v, b->start + byte, 8);          /* one unaligned load */
+    } else {
+        v = 0;
+        for (int k = 0; byte + k < b->size && k < 8; k++)
+            v |= (uint64_t)b->start[byte + k] << (8 * k);
+    }
+    return (uint32_t)((v >> off) & ((nbits >= 32) ? 0xFFFFFFFFu
+                                                  : ((1u << nbits) - 1)));
+}
+
+static inline uint32_t bitrd_read(BitRd* b, int nbits) {
+    if (nbits == 0) return 0;
+    b->bit_pos -= nbits;
+    if (b->bit_pos < 0) { b->err = 1; return 0; }
+    return bits_at(b, b->bit_pos, nbits);
+}
+
+static inline int bitrd_done(const BitRd* b) { return b->bit_pos == 0 && !b->err; }
+
+/* ---- FSE decode tables ---- */
+typedef struct {
+    uint8_t sym[1 << 9];
+    uint8_t nb[1 << 9];
+    uint16_t next[1 << 9];   /* baseline state */
+    int log;
+    int rle;                 /* rle mode: sym[0] repeated, 0 bits */
+} FseDT;
+
+static inline uint32_t highbit_u32(uint32_t v) { return 31 - __builtin_clz(v); }
+
+static int fse_build_dtable(FseDT* t, const int16_t* counts, int n_sym,
+                            int tlog) {
+    int size = 1 << tlog;
+    t->log = tlog;
+    t->rle = 0;
+    uint16_t symbol_next[256];
+    int high = size - 1;
+    /* low-prob symbols at the end */
+    for (int s = 0; s < n_sym; s++) {
+        if (counts[s] == -1) {
+            t->sym[high--] = (uint8_t)s;
+            symbol_next[s] = 1;
+        } else {
+            symbol_next[s] = (uint16_t)counts[s];
+        }
+    }
+    /* spread */
+    int step = (size >> 1) + (size >> 3) + 3;
+    int mask = size - 1;
+    int pos = 0;
+    for (int s = 0; s < n_sym; s++) {
+        for (int i = 0; i < counts[s]; i++) {
+            t->sym[pos] = (uint8_t)s;
+            do { pos = (pos + step) & mask; } while (pos > high);
+        }
+    }
+    if (pos != 0) return -1;
+    for (int c = 0; c < size; c++) {
+        uint8_t s = t->sym[c];
+        uint16_t nxt = symbol_next[s]++;
+        uint8_t nb = (uint8_t)(tlog - highbit_u32(nxt));
+        t->nb[c] = nb;
+        t->next[c] = (uint16_t)((nxt << nb) - size);
+    }
+    return 0;
+}
+
+/* variable-bit normalized-count header parse; exact mirror of the oracle
+ * (zstd_tpu/format/fse.py read_ncount:256 — shrinking threshold scheme) */
+static inline uint32_t nc_peek(const uint8_t* src, int64_t size,
+                               int64_t bitpos, int nb) {
+    uint64_t v = 0;
+    int got = 0;
+    int off = (int)(bitpos & 7);
+    int64_t byte = bitpos >> 3;
+    while (got < nb + off && got < 64) {
+        uint8_t b = (byte + (got >> 3) < size) ? src[byte + (got >> 3)] : 0;
+        v |= (uint64_t)b << got;
+        got += 8;
+    }
+    return (uint32_t)((v >> off) & ((nb >= 32) ? 0xFFFFFFFFu
+                                               : ((1u << nb) - 1)));
+}
+
+static int fse_read_ncount(const uint8_t* src, int64_t size, int16_t* counts,
+                           int* n_sym_out, int* tlog_out, int max_sym) {
+    if (size < 1) return -1;
+    int64_t bitpos = 0;
+    int tlog = (int)nc_peek(src, size, bitpos, 4) + 5;
+    bitpos += 4;
+    if (tlog > 9) return -1;
+    int threshold = 1 << tlog;
+    int nb_bits = tlog + 1;
+    int remaining = threshold + 1;
+    int charnum = 0;
+    int prev0 = 0;
+    for (int s = 0; s <= max_sym; s++) counts[s] = 0;
+    while (remaining > 1 && charnum <= max_sym) {
+        if (prev0) {
+            while (1) {
+                uint32_t rep = nc_peek(src, size, bitpos, 2);
+                bitpos += 2;
+                charnum += (int)rep;
+                if (rep < 3) break;
+            }
+            if (charnum > max_sym) return -1;
+        }
+        int mx = (2 * threshold - 1) - remaining;
+        uint32_t low = nc_peek(src, size, bitpos, nb_bits - 1)
+                       & (uint32_t)(threshold - 1);
+        int value;
+        if ((int)low < mx) {
+            value = (int)low;
+            bitpos += nb_bits - 1;
+        } else {
+            uint32_t full = nc_peek(src, size, bitpos, nb_bits)
+                            & (uint32_t)(2 * threshold - 1);
+            bitpos += nb_bits;
+            value = (int)full;
+            if (value >= threshold) value -= mx;
+        }
+        int proba = value - 1;
+        if (proba == -1) {
+            remaining -= 1;
+            counts[charnum] = -1;
+        } else {
+            remaining -= proba;
+            counts[charnum] = (int16_t)proba;
+        }
+        charnum++;
+        prev0 = (proba == 0);
+        if (remaining < 1) return -1;
+        while (remaining < threshold) { nb_bits--; threshold >>= 1; }
+        if ((bitpos + 7) / 8 > size) return -1;
+    }
+    if (remaining != 1 || charnum < 2) return -1;
+    *n_sym_out = charnum;
+    *tlog_out = tlog;
+    return (int)((bitpos + 7) / 8);
+}
+
+/* ---- Huffman ---- */
+typedef struct {
+    uint8_t sym[1 << 11];
+    uint8_t nb[1 << 11];
+    int log;
+    int valid;
+} HufDT;
+
+static int huf_build_dtable(HufDT* t, const uint8_t* weights, int n_sym) {
+    /* weights (w>=0), last symbol's weight implied by completion */
+    uint32_t wsum = 0;
+    int maxw = 0;
+    for (int s = 0; s < n_sym; s++) {
+        if (weights[s] > 11) return -1;
+        if (weights[s]) wsum += 1u << (weights[s] - 1);
+        if (weights[s] > maxw) maxw = weights[s];
+    }
+    if (wsum == 0) return -1;
+    int tlog = (int)highbit_u32(wsum) + 1;
+    if (tlog > 11) return -1;
+    uint32_t total = 1u << tlog;
+    uint32_t rest = total - wsum;
+    /* rest must be a power of two: the implied last weight */
+    if (rest == 0 || (rest & (rest - 1))) return -1;
+    int last_w = (int)highbit_u32(rest) + 1;
+    /* rank count per weight */
+    uint32_t rank_count[13] = {0};
+    for (int s = 0; s < n_sym; s++) rank_count[weights[s]]++;
+    rank_count[last_w]++;
+    /* fill: ascending weight order -> canonical layout */
+    uint32_t rank_start[14];
+    uint32_t cur = 0;
+    for (int w = 1; w <= 12; w++) {
+        rank_start[w] = cur;
+        cur += rank_count[w] << (w - 1);
+    }
+    if (cur != total) return -1;
+    t->log = tlog;
+    for (int s = 0; s <= n_sym; s++) {
+        int w = (s == n_sym) ? last_w : weights[s];
+        if (w == 0) continue;
+        uint32_t len = 1u << (w - 1);
+        uint8_t nb = (uint8_t)(tlog + 1 - w);
+        for (uint32_t i = 0; i < len; i++) {
+            t->sym[rank_start[w] + i] = (uint8_t)s;
+            t->nb[rank_start[w] + i] = nb;
+        }
+        rank_start[w] += len;
+    }
+    t->valid = 1;
+    return 0;
+}
+
+/* Huffman tree description -> weights (direct or FSE-compressed) */
+static int huf_read_weights(const uint8_t* src, int64_t size,
+                            uint8_t* weights, int* n_sym_out) {
+    if (size < 1) return -1;
+    int hdr = src[0];
+    if (hdr >= 128) {
+        int n = hdr - 127;
+        int nbytes = (n + 1) / 2;
+        if (1 + nbytes > size) return -1;
+        for (int i = 0; i < n; i++) {
+            uint8_t b = src[1 + i / 2];
+            weights[i] = (i & 1) ? (b & 0xF) : (b >> 4);
+        }
+        *n_sym_out = n;
+        return 1 + nbytes;
+    }
+    /* FSE-compressed weights: hdr = compressed size */
+    int csize = hdr;
+    if (1 + csize > size) return -1;
+    int16_t counts[256];
+    int n_sym, tlog;
+    int hsz = fse_read_ncount(src + 1, csize, counts, &n_sym, &tlog, 255);
+    if (hsz < 0 || tlog > 6) return -1;
+    FseDT dt;
+    if (fse_build_dtable(&dt, counts, n_sym, tlog) < 0) return -1;
+    BitRd br;
+    if (bitrd_init(&br, src + 1 + hsz, csize - hsz) < 0) return -1;
+    uint32_t s1 = bitrd_read(&br, tlog);
+    uint32_t s2 = bitrd_read(&br, tlog);
+    int n = 0;
+    /* two interleaved states until the stream is exhausted */
+    while (1) {
+        if (br.err) return -1;
+        weights[n++] = dt.sym[s1];
+        if (br.bit_pos < dt.nb[s1]) {   /* s1 ends: flush both */
+            if (n > 255) return -1;
+            weights[n++] = dt.sym[s2];
+            break;
+        }
+        s1 = dt.next[s1] + bitrd_read(&br, dt.nb[s1]);
+        weights[n++] = dt.sym[s2];
+        if (br.bit_pos < dt.nb[s2]) {
+            if (n > 255) return -1;
+            weights[n++] = dt.sym[s1];
+            break;
+        }
+        s2 = dt.next[s2] + bitrd_read(&br, dt.nb[s2]);
+        if (n > 254) return -1;
+    }
+    *n_sym_out = n;
+    return 1 + csize;
+}
+
+/* decode one Huffman stream */
+static int huf_decode_stream(const HufDT* t, const uint8_t* src, int64_t size,
+                             uint8_t* dst, int64_t n_out) {
+    BitRd br;
+    if (bitrd_init(&br, src, size) < 0) return -1;
+    int tlog = t->log;
+    for (int64_t i = 0; i < n_out; i++) {
+        int64_t p = br.bit_pos - tlog;
+        uint32_t idx;
+        if (p >= 0) {
+            idx = bits_at(&br, p, tlog);
+        } else {
+            /* fewer than tlog bits left: pad with zeros below */
+            uint32_t have = (uint32_t)br.bit_pos;
+            if ((int64_t)have <= 0) return -1;
+            uint64_t v = 0;
+            int got = 0;
+            while (got < (int)have && got < 64) {
+                v |= (uint64_t)br.start[got >> 3] << got;
+                got += 8;
+            }
+            uint32_t bits = (uint32_t)(v & ((1u << have) - 1));
+            idx = bits << (tlog - have);
+        }
+        dst[i] = t->sym[idx];
+        br.bit_pos -= t->nb[idx];
+        if (br.bit_pos < 0) return -1;
+    }
+    return bitrd_done(&br) ? 0 : -1;
+}
+
+/* ---- decoder context ---- */
+typedef struct {
+    HufDT huf;
+    FseDT ll, of, ml;
+    int seq_valid;
+    uint32_t rep[3];
+    uint8_t lits[MAX_BLOCK + 32];
+} ZtDCtx;
+
+void* zt_dctx_new(void) {
+    ZtDCtx* c = calloc(1, sizeof(ZtDCtx));
+    if (c) { c->rep[0] = 1; c->rep[1] = 4; c->rep[2] = 8; }
+    return c;
+}
+
+void zt_dctx_free(void* c) { free(c); }
+
+static int build_seq_table(FseDT* t, const uint8_t** srcp, const uint8_t* end,
+                           int mode, const int16_t* defaults, int n_def,
+                           int deflog, int maxlog, int valid_prev) {
+    const uint8_t* src = *srcp;
+    if (mode == 0) {                       /* predefined */
+        return fse_build_dtable(t, defaults, n_def, deflog);
+    } else if (mode == 1) {                /* RLE: one byte symbol */
+        if (src >= end) return -1;
+        t->rle = 1;
+        t->sym[0] = *src;
+        t->nb[0] = 0;
+        t->log = 0;
+        *srcp = src + 1;
+        return 0;
+    } else if (mode == 2) {                /* FSE description */
+        int16_t counts[64];
+        int n_sym, tlog;
+        int hsz = fse_read_ncount(src, end - src, counts, &n_sym, &tlog,
+                                  n_def - 1);
+        if (hsz < 0 || tlog > maxlog) return -1;
+        *srcp = src + hsz;
+        return fse_build_dtable(t, counts, n_sym, tlog);
+    }
+    return valid_prev ? 0 : -1;            /* repeat */
+}
+
+/* returns bytes written at dstBase+dstPos, or -1 */
+int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
+                            uint8_t* dstBase, int64_t dstPos, int64_t dstCap,
+                            int64_t windowLow, int64_t blockMax) {
+    ZtDCtx* ctx = (ZtDCtx*)vctx;
+    const uint8_t* p = src;
+    const uint8_t* end = src + srcSize;
+    if (srcSize < 2) return -1;
+
+    /* ---- literals section ---- */
+    int lbt = p[0] & 3;
+    int64_t nlit, lsize;
+    const uint8_t* lit;
+    int rle_byte = -1;
+    if (lbt == 0 || lbt == 1) {            /* raw / rle */
+        int sf = (p[0] >> 2) & 3;
+        if (sf == 0 || sf == 2) { nlit = p[0] >> 3; p += 1; }
+        else if (sf == 1) {
+            if (p + 2 > end) return -1;
+            nlit = (p[0] >> 4) | ((int64_t)p[1] << 4); p += 2;
+        } else {
+            if (p + 3 > end) return -1;
+            nlit = (p[0] >> 4) | ((int64_t)p[1] << 4) | ((int64_t)p[2] << 12);
+            p += 3;
+        }
+        if (nlit > MAX_BLOCK) return -1;
+        if (lbt == 0) {
+            if (p + nlit > end) return -1;
+            memcpy(ctx->lits, p, nlit);
+            p += nlit;
+        } else {
+            if (p + 1 > end) return -1;
+            rle_byte = *p++;
+            memset(ctx->lits, rle_byte, nlit);
+        }
+    } else {                                /* compressed / treeless */
+        int sf = (p[0] >> 2) & 3;
+        int lh;
+        if (sf == 0 || sf == 1) {
+            if (p + 3 > end) return -1;
+            uint32_t v = p[0] | (p[1] << 8) | ((uint32_t)p[2] << 16);
+            nlit = (v >> 4) & 0x3FF;
+            lsize = (v >> 14) & 0x3FF;
+            lh = 3;
+        } else if (sf == 2) {
+            if (p + 4 > end) return -1;
+            uint32_t v = p[0] | (p[1] << 8) | ((uint32_t)p[2] << 16)
+                         | ((uint32_t)p[3] << 24);
+            nlit = (v >> 4) & 0x3FFF;
+            lsize = (v >> 18);
+            lh = 4;
+        } else {
+            if (p + 5 > end) return -1;
+            uint64_t v = (uint64_t)p[0] | ((uint64_t)p[1] << 8)
+                         | ((uint64_t)p[2] << 16) | ((uint64_t)p[3] << 24)
+                         | ((uint64_t)p[4] << 32);
+            nlit = (v >> 4) & 0x3FFFF;
+            lsize = (v >> 22) & 0x3FFFF;
+            lh = 5;
+        }
+        int single = (sf == 0);
+        p += lh;
+        if (p + lsize > end || nlit > MAX_BLOCK) return -1;
+        lit = p;
+        const uint8_t* lend = p + lsize;
+        if (lbt == 2) {                     /* fresh tree */
+            uint8_t weights[256];
+            int n_sym;
+            int consumed = huf_read_weights(lit, lsize, weights, &n_sym);
+            if (consumed < 0) return -1;
+            /* n_sym = explicit weights; huf_build_dtable adds the implied
+               last symbol itself */
+            if (huf_build_dtable(&ctx->huf, weights, n_sym) < 0) return -1;
+            lit += consumed;
+        } else if (!ctx->huf.valid) {
+            return -1;                      /* treeless without prior tree */
+        }
+        if (single) {
+            if (huf_decode_stream(&ctx->huf, lit, lend - lit, ctx->lits,
+                                  nlit) < 0) return -1;
+        } else {
+            if (lend - lit < 6) return -1;
+            int64_t s1 = lit[0] | (lit[1] << 8);
+            int64_t s2 = lit[2] | (lit[3] << 8);
+            int64_t s3 = lit[4] | (lit[5] << 8);
+            const uint8_t* q = lit + 6;
+            int64_t s4 = (lend - q) - s1 - s2 - s3;
+            if (s4 <= 0) return -1;
+            int64_t seg = (nlit + 3) / 4;
+            int64_t n4 = nlit - 3 * seg;
+            if (n4 < 0) return -1;
+            if (huf_decode_stream(&ctx->huf, q, s1, ctx->lits, seg) < 0)
+                return -1;
+            if (huf_decode_stream(&ctx->huf, q + s1, s2, ctx->lits + seg,
+                                  seg) < 0) return -1;
+            if (huf_decode_stream(&ctx->huf, q + s1 + s2, s3,
+                                  ctx->lits + 2 * seg, seg) < 0) return -1;
+            if (huf_decode_stream(&ctx->huf, q + s1 + s2 + s3, s4,
+                                  ctx->lits + 3 * seg, n4) < 0) return -1;
+        }
+        p = lend;
+    }
+
+    /* ---- sequences section ---- */
+    if (p >= end) return -1;
+    int64_t nbseq;
+    if (p[0] < 128) { nbseq = *p++; }
+    else if (p[0] < 255) {
+        if (p + 2 > end) return -1;
+        nbseq = (((int64_t)p[0] - 128) << 8) + p[1];
+        p += 2;
+    } else {
+        if (p + 3 > end) return -1;
+        nbseq = p[1] + ((int64_t)p[2] << 8) + 0x7F00;
+        p += 3;
+    }
+    if (nbseq == 0) {
+        if (p != end) return -1;
+        if (dstPos + nlit > dstCap || nlit > blockMax) return -1;
+        memcpy(dstBase + dstPos, ctx->lits, nlit);
+        return nlit;
+    }
+    if (p >= end) return -1;
+    int scm = *p++;
+    if (scm & 3) return -1;                 /* reserved bits */
+    int ll_mode = (scm >> 6) & 3, of_mode = (scm >> 4) & 3,
+        ml_mode = (scm >> 2) & 3;
+    FseDT nll = ctx->ll, nof = ctx->of, nml = ctx->ml;
+    if (build_seq_table(&nll, &p, end, ll_mode, LL_DEF, 36, LL_DEFLOG, 9,
+                        ctx->seq_valid) < 0) return -1;
+    if (build_seq_table(&nof, &p, end, of_mode, OF_DEF, 29, OF_DEFLOG, 8,
+                        ctx->seq_valid) < 0) return -1;
+    if (build_seq_table(&nml, &p, end, ml_mode, ML_DEF, 53, ML_DEFLOG, 9,
+                        ctx->seq_valid) < 0) return -1;
+
+    BitRd br;
+    if (bitrd_init(&br, p, end - p) < 0) return -1;
+    uint32_t sll = nll.rle ? 0 : bitrd_read(&br, nll.log);
+    uint32_t sof = nof.rle ? 0 : bitrd_read(&br, nof.log);
+    uint32_t sml = nml.rle ? 0 : bitrd_read(&br, nml.log);
+
+    int64_t out = dstPos;
+    int64_t lit_pos = 0;
+    int64_t produced = 0;
+    uint32_t rep0 = ctx->rep[0], rep1 = ctx->rep[1], rep2 = ctx->rep[2];
+
+    for (int64_t i = 0; i < nbseq; i++) {
+        uint32_t llc = nll.rle ? nll.sym[0] : nll.sym[sll];
+        uint32_t ofc = nof.rle ? nof.sym[0] : nof.sym[sof];
+        uint32_t mlc = nml.rle ? nml.sym[0] : nml.sym[sml];
+        if (llc > 35 || mlc > 52 || ofc > 31) return -1;
+
+        uint32_t ofbase_v;
+        if (ofc == 0) ofbase_v = 0;  /* read 0 bits -> value 0 */
+        uint32_t of_extra = bitrd_read(&br, (int)ofc);
+        uint64_t offv = ((uint64_t)1 << ofc) + of_extra;
+        (void)ofbase_v;
+        uint32_t ml = ML_BASE[mlc] + bitrd_read(&br, ML_BITS[mlc]);
+        uint32_t ll = LL_BASE[llc] + bitrd_read(&br, LL_BITS[llc]);
+        if (br.err) return -1;
+
+        /* repcode resolution (spec Repeat offsets; ofc==0 => offv==1) */
+        uint32_t offset;
+        if (offv > 3) {
+            offset = (uint32_t)(offv - 3);
+            rep2 = rep1; rep1 = rep0; rep0 = offset;
+        } else {
+            uint32_t idx = (uint32_t)offv + (ll == 0 ? 1 : 0);
+            if (idx == 1) offset = rep0;
+            else if (idx == 2) { offset = rep1; rep1 = rep0; rep0 = offset; }
+            else if (idx == 3) { offset = rep2; rep2 = rep1; rep1 = rep0;
+                                 rep0 = offset; }
+            else { offset = rep0 - 1; if (offset == 0) return -1;
+                   rep2 = rep1; rep1 = rep0; rep0 = offset; }
+        }
+        if (offset == 0) return -1;
+
+        /* state updates (all but last sequence) */
+        if (i + 1 < nbseq) {
+            if (!nll.rle) sll = nll.next[sll] + bitrd_read(&br, nll.nb[sll]);
+            if (!nml.rle) sml = nml.next[sml] + bitrd_read(&br, nml.nb[sml]);
+            if (!nof.rle) sof = nof.next[sof] + bitrd_read(&br, nof.nb[sof]);
+            if (br.err) return -1;
+        }
+
+        /* exec */
+        if (lit_pos + ll > nlit) return -1;
+        if (out + ll + ml > dstCap) return -1;
+        memcpy(dstBase + out, ctx->lits + lit_pos, ll);
+        lit_pos += ll;
+        out += ll;
+        if ((int64_t)out - (int64_t)offset < windowLow) return -1;
+        {   /* overlap-safe match copy */
+            int64_t from = out - offset;
+            int64_t rem = ml;
+            while (rem > 0) {
+                int64_t chunk = out - from;  /* distinct bytes available */
+                if (chunk > rem) chunk = rem;
+                memcpy(dstBase + out, dstBase + from, chunk);
+                out += chunk;
+                rem -= chunk;
+            }
+        }
+        produced += ll + ml;
+        if (produced > blockMax) return -1;
+    }
+    /* trailing literals */
+    {
+        int64_t rest = nlit - lit_pos;
+        if (rest < 0 || out + rest > dstCap) return -1;
+        memcpy(dstBase + out, ctx->lits + lit_pos, rest);
+        out += rest;
+        produced += rest;
+        if (produced > blockMax) return -1;
+    }
+    if (!bitrd_done(&br)) return -1;
+
+    ctx->ll = nll; ctx->of = nof; ctx->ml = nml;
+    ctx->seq_valid = 1;
+    ctx->rep[0] = rep0; ctx->rep[1] = rep1; ctx->rep[2] = rep2;
+    return out - dstPos;
+}

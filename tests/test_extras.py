@@ -1,0 +1,81 @@
+"""COVER trainer, block splitter, and external sequence producer tests."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import zstd_tpu
+from tests.conftest import gen_text, ref_decompress
+
+
+def test_cover_trainer_roundtrip():
+    from zstd_tpu.dict_builder.cover import train_from_samples_cover
+    from zstd_tpu.dict_builder.zdict import finalize_dictionary
+    from zstd_tpu.dictionary import (load_dictionary, compress_with_dict,
+                                     decompress_with_dict)
+    samples = [gen_text(2500, s) for s in range(30)]
+    raw = train_from_samples_cover(samples, 8192)
+    d = load_dictionary(finalize_dictionary(raw, samples, dict_id=42))
+    data = gen_text(3000, 99)
+    blob = compress_with_dict(data, d, level=3)
+    assert decompress_with_dict(blob, d) == data
+    assert len(blob) < len(zstd_tpu.compress(data, level=3))
+
+
+def test_optimize_cover():
+    from zstd_tpu.dict_builder.cover import optimize_train
+    samples = [gen_text(1500, s) for s in range(20)]
+    content, params = optimize_train(samples, 4096, cover=True)
+    assert params["k"] in (256, 512, 1024, 2048)
+    assert len(content) <= 4096
+
+
+def test_block_splitter_triggers_and_roundtrips(ref):
+    rng = np.random.default_rng(3)
+    corpus = (gen_text(200000, 1)
+              + rng.integers(0, 256, 150000, dtype=np.uint8).tobytes()
+              + gen_text(150000, 2))
+    from zstd_tpu.format.frame import _split_points
+    pts = _split_points(np.frombuffer(corpus, np.uint8), 131072, 262144)
+    assert pts, "expected a split near the text/random boundary"
+    assert abs(pts[0] - 200000) < 8192
+    blob = zstd_tpu.compress(corpus, level=16)
+    assert ref_decompress(blob) == corpus
+
+
+def test_external_sequence_producer(ref):
+    data = b"abcdefgh" * 4000
+
+    def producer(full, bs, be, wl):
+        # trivial producer: one long rep of the 8-byte period
+        if be - bs < 64:
+            return None
+        ml = (be - bs) - 16
+        ml -= ml % 8
+        return [(8, 8, ml)]
+
+    zstd_tpu.register_sequence_producer(producer)
+    try:
+        blob = zstd_tpu.compress(data, level=3, checksum=True)
+    finally:
+        zstd_tpu.register_sequence_producer(None)
+    assert ref_decompress(blob) == data
+    assert len(blob) < 200
+
+
+def test_sequence_producer_validation():
+    from zstd_tpu.errors import ZstdError
+
+    def bad(full, bs, be, wl):
+        return [(0, 999999, 100)]  # offset beyond window
+
+    zstd_tpu.register_sequence_producer(bad)
+    try:
+        with pytest.raises(Exception):
+            zstd_tpu.compress(b"x" * 50000, level=3)
+    finally:
+        zstd_tpu.register_sequence_producer(None)

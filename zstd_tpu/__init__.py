@@ -13,7 +13,9 @@ Top-level one-shot API (ZSTD_compress/ZSTD_decompress analog):
     data = zstd_tpu.decompress(blob)
 """
 
-from .format.codec import compress, decompress
+from .format.codec import (compress, compress_patch, decompress,
+                           decompress_patch)
+from .format.block import register_sequence_producer
 from .errors import ZstdError, ZstdErrorCode
 from .params import CParams, get_cparams
 from .xxhash64 import xxh64
@@ -21,6 +23,7 @@ from .xxhash64 import xxh64
 __version__ = "0.1.0"
 
 __all__ = [
-    "compress", "decompress", "ZstdError", "ZstdErrorCode",
+    "compress", "decompress", "compress_patch", "decompress_patch",
+    "register_sequence_producer", "ZstdError", "ZstdErrorCode",
     "CParams", "get_cparams", "xxh64", "__version__",
 ]

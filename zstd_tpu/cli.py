@@ -33,6 +33,8 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("-b", dest="bench", nargs="?", const=3, type=int,
                    metavar="#", help="benchmark file(s) at level #")
     p.add_argument("--train", action="store_true")
+    p.add_argument("--train-cover", action="store_true", dest="train_cover")
+    p.add_argument("--optimize-cover", action="store_true", dest="opt_cover")
     p.add_argument("-l", "--list", action="store_true")
     p.add_argument("-o", dest="output", metavar="FILE")
     p.add_argument("-c", "--stdout", action="store_true")
@@ -200,7 +202,17 @@ def _do_train(files, args) -> int:
     if not samples:
         _err("no training files")
         return 1
-    raw = train_from_samples(samples, max_dict_size=args.maxdict)
+    if args.opt_cover:
+        from .dict_builder.cover import optimize_train
+        raw, params = optimize_train(samples, max_dict_size=args.maxdict,
+                                     cover=args.train_cover)
+        if not args.quiet:
+            print(f"optimized parameters: k={params['k']} d={params['d']}")
+    elif args.train_cover:
+        from .dict_builder.cover import train_from_samples_cover
+        raw = train_from_samples_cover(samples, max_dict_size=args.maxdict)
+    else:
+        raw = train_from_samples(samples, max_dict_size=args.maxdict)
     dict_bytes = finalize_dictionary(raw, samples, dict_id=args.dictID,
                                      level=args.level or 3)
     out = args.output or "dictionary"
@@ -235,7 +247,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.bench is not None:
         args.level = args.bench
         return _do_bench(args.files, args)
-    if args.train:
+    if args.train or args.train_cover or args.opt_cover:
         return _do_train(args.files, args)
 
     mode = "decompress" if (args.decompress or args.test) else "compress"

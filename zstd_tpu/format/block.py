@@ -45,6 +45,47 @@ class BlockDState:
     reps: tuple[int, int, int] = REPCODE_INIT
 
 
+_SEQ_PRODUCER = None
+
+
+def register_sequence_producer(fn) -> None:
+    """External sequence producer (ZSTD_registerSequenceProducer analog,
+    /root/reference/lib/compress/zstd_compress.c:3294): fn(full, block_start,
+    block_end, window_low) -> list of (lit_length, raw_offset, match_length)
+    or None to fall back to the built-in finders. Sequences are validated;
+    invalid output raises Corruption rather than emitting a bad frame."""
+    global _SEQ_PRODUCER
+    _SEQ_PRODUCER = fn
+
+
+def _seqs_from_producer(full, block_start, block_end, window_low, reps,
+                        raw_seqs):
+    from .matchfinder import update_reps
+    lls, obs, mbs = [], [], []
+    lit_parts = []
+    pos = block_start
+    r = reps
+    for (ll, off, ml) in raw_seqs:
+        if ll < 0 or ml < MIN_MATCH or off <= 0:
+            raise Corruption("sequence producer: invalid sequence")
+        start = pos + ll
+        if start + ml > block_end or start - off < window_low:
+            raise Corruption("sequence producer: out-of-window sequence")
+        if not np.array_equal(full[start : start + ml],
+                              full[start - off : start - off + ml]):
+            raise Corruption("sequence producer: match bytes do not repeat")
+        lit_parts.append(full[pos : start].tobytes())
+        ob = off + 3  # conservative encoding; repcodes not asserted
+        lls.append(ll)
+        obs.append(ob)
+        mbs.append(ml - MIN_MATCH)
+        r = update_reps(r, ob, ll)
+        pos = start + ml
+    lit_parts.append(full[pos:block_end].tobytes())
+    return SeqStore(np.array(lls, np.int32), np.array(obs, np.int32),
+                    np.array(mbs, np.int32), b"".join(lit_parts)), r
+
+
 def compress_block(full: np.ndarray, block_start: int, block_end: int,
                    window_low: int, state: BlockCState, cparams,
                    ldm_ctx=None) -> tuple[bytes, int, BlockCState]:
@@ -61,7 +102,13 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
     if n < MIN_MATCH + 1 + 8:
         return raw
 
-    if ldm_ctx is not None:  # --long: long-distance matcher wraps the inner one
+    produced = None
+    if _SEQ_PRODUCER is not None:
+        produced = _SEQ_PRODUCER(full, block_start, block_end, window_low)
+    if produced is not None:
+        seqs, new_reps = _seqs_from_producer(
+            full, block_start, block_end, window_low, state.reps, produced)
+    elif ldm_ctx is not None:  # --long: long-distance matcher wraps the inner one
         from .ldm import find_sequences_ldm
         seqs, new_reps = find_sequences_ldm(
             full, block_start, block_end, window_low, state.reps, cparams,

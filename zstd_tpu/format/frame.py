@@ -122,6 +122,41 @@ def parse_frame_header(data: bytes, window_log_max: int = WINDOWLOG_LIMIT_DEFAUL
                        single_segment, pos)
 
 
+def _split_points(full: np.ndarray, bs: int, be: int,
+                  chunk: int = 4096, min_seg: int = 16384,
+                  threshold: float = 0.35) -> list[int]:
+    """Entropy-divergence pre-split inside one block (ZSTD_splitBlock /
+    zstd_preSplit.c fingerprint-divergence analog, vectorized): compare each
+    chunk's coarse byte histogram against the running segment histogram and
+    cut where the L1 divergence jumps. Returns interior split offsets."""
+    n = be - bs
+    if n < 2 * min_seg:
+        return []
+    nch = n // chunk
+    if nch < 2:
+        return []
+    v = (full[bs : bs + nch * chunk] >> 2).reshape(nch, chunk)
+    hists = np.zeros((nch, 64), dtype=np.int64)
+    for c in range(nch):  # 32 chunks max per 128K block: cheap
+        hists[c] = np.bincount(v[c], minlength=64)
+    splits = []
+    seg_hist = hists[0].astype(np.float64)
+    seg_n = 1
+    for c in range(1, nch):
+        ref = seg_hist / (seg_n * chunk)
+        cur = hists[c] / chunk
+        div = float(np.abs(ref - cur).sum()) / 2.0
+        off = c * chunk
+        if div > threshold and off >= min_seg and n - off >= min_seg:
+            splits.append(bs + off)
+            seg_hist = hists[c].astype(np.float64)
+            seg_n = 1
+        else:
+            seg_hist += hists[c]
+            seg_n += 1
+    return splits
+
+
 def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                    long_mode: bool = False, prefix: bytes = b"") -> bytes:
     """One full zstd frame (ZSTD_compressContinue_internal driver shape).
@@ -150,10 +185,15 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
         ldm_ctx = LdmState(full, window_log)
         if p0:
             ldm_ctx.insert_upto(p0)
+    split = cparams.strategy >= 6  # block splitting at btopt-class levels
     pos = p0
     n += p0
     while pos < n:
         end = min(pos + block_size, n)
+        if split and end - pos >= 32768:
+            pts = _split_points(full, pos, end)
+            if pts:
+                end = pts[0]
         last = end == n
         window_low = max(0, pos - window_size)
         payload, btype, state = compress_block(full, pos, end, window_low,
@@ -177,6 +217,94 @@ def decompress_frame_prefix(data: bytes, pos: int, prefix: bytes,
     return decompress_frame(data, pos, window_log_max, prefix=prefix)
 
 
+def _decompress_frame_native(data: bytes, pos: int, hdr: FrameHeader,
+                             prefix: bytes):
+    """Fast path: native block decoder over a preallocated window buffer.
+    Returns (content, end_pos) or None to fall back to the Python decoder
+    (unknown content size, native unavailable, or any block it declines)."""
+    from ..native import get_native
+    nat = get_native()
+    if nat is None:
+        return None
+    p0 = len(prefix)
+    window = hdr.window_size or BLOCK_MAX_SIZE
+    if hdr.frame_content_size is not None:
+        buf = np.empty(p0 + hdr.frame_content_size + BLOCK_MAX_SIZE,
+                       dtype=np.uint8)
+    else:
+        # unknown content size: ring buffer, flush beyond-window prefix out
+        buf = np.empty(p0 + 2 * min(window, 1 << 27) + 2 * BLOCK_MAX_SIZE,
+                       dtype=np.uint8)
+    if p0:
+        buf[:p0] = np.frombuffer(prefix, dtype=np.uint8)
+    flushed: list[bytes] = []
+    base = 0           # absolute position of buf[0]
+    block_max = min(window or BLOCK_MAX_SIZE, BLOCK_MAX_SIZE)
+    if hdr.single_segment and hdr.frame_content_size is not None:
+        block_max = min(max(hdr.frame_content_size, 1), BLOCK_MAX_SIZE)
+    ctx = nat.dctx_new()
+    try:
+        out_pos = p0
+        last = False
+        while not last:
+            if out_pos + BLOCK_MAX_SIZE > len(buf):
+                keep = min(window, out_pos)
+                cut = out_pos - keep
+                flushed.append(buf[:cut].tobytes())
+                buf[:keep] = buf[cut:out_pos]
+                out_pos = keep
+                base += cut
+            if pos + BLOCK_HEADER_SIZE > len(data):
+                return None
+            bh = int.from_bytes(data[pos : pos + 3], "little")
+            pos += 3
+            last = bool(bh & 1)
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == BT_RAW:
+                if pos + bsize > len(data) or out_pos + bsize > len(buf):
+                    return None
+                buf[out_pos : out_pos + bsize] = np.frombuffer(
+                    data[pos : pos + bsize], dtype=np.uint8)
+                out_pos += bsize
+                pos += bsize
+            elif btype == BT_RLE:
+                if pos + 1 > len(data) or bsize > block_max or \
+                        out_pos + bsize > len(buf):
+                    return None
+                buf[out_pos : out_pos + bsize] = data[pos]
+                out_pos += bsize
+                pos += 1
+            elif btype == BT_COMPRESSED:
+                if bsize > block_max or pos + bsize > len(data):
+                    return None
+                window_low = max(0, out_pos - (hdr.window_size or (1 << 62)))
+                r = nat.decompress_block(ctx, data[pos : pos + bsize], buf,
+                                         out_pos, window_low, block_max)
+                if r < 0:
+                    return None
+                out_pos += r
+                pos += bsize
+            else:
+                return None
+        whole = b"".join(flushed) + buf[:out_pos].tobytes()
+        content = whole[p0:]
+        if hdr.frame_content_size is not None and \
+                len(content) != hdr.frame_content_size:
+            return None
+        if hdr.checksum_flag:
+            if pos + 4 > len(data):
+                return None
+            expect = int.from_bytes(data[pos : pos + 4], "little")
+            pos += 4
+            if content_checksum(content) != expect:
+                raise ZstdError(ZstdErrorCode.checksum_wrong,
+                                "content checksum mismatch")
+        return content, pos
+    finally:
+        nat.dctx_free(ctx)
+
+
 def decompress_frame(data: bytes, pos: int,
                      window_log_max: int = WINDOWLOG_LIMIT_DEFAULT,
                      prefix: bytes = b"") -> tuple[bytes, int]:
@@ -186,6 +314,9 @@ def decompress_frame(data: bytes, pos: int,
         raise ZstdError(ZstdErrorCode.dictionary_wrong,
                         "frame requires a dictionary (unsupported here)")
     pos += hdr.header_size
+    fast = _decompress_frame_native(data, pos, hdr, prefix)
+    if fast is not None:
+        return fast
     out = bytearray(prefix)
     p0 = len(prefix)
     state = BlockDState()

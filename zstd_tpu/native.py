@@ -34,9 +34,33 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.zt_dctx_new.restype = ctypes.c_void_p
+        lib.zt_dctx_free.argtypes = [ctypes.c_void_p]
+        lib.zt_decompress_block.restype = ctypes.c_int64
+        lib.zt_decompress_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64]
 
     def xxh64(self, data: bytes, seed: int = 0) -> int:
         return self._lib.zt_xxh64(data, len(data), seed)
+
+    def dctx_new(self):
+        return self._lib.zt_dctx_new()
+
+    def dctx_free(self, ctx) -> None:
+        self._lib.zt_dctx_free(ctx)
+
+    def decompress_block(self, ctx, payload: bytes, dst, dst_pos: int,
+                         window_low: int, block_max: int) -> int:
+        """dst: writable uint8 numpy buffer (whole frame window). Returns
+        bytes produced or -1 (caller falls back to the Python decoder)."""
+        import ctypes as ct
+        import numpy as np
+        u8p = ct.POINTER(ct.c_uint8)
+        return self._lib.zt_decompress_block(
+            ctx, payload, len(payload), dst.ctypes.data_as(u8p), dst_pos,
+            len(dst), window_low, block_max)
 
     def opt_parse(self, full, window_low: int, block_start: int,
                   block_end: int, reps: tuple, hash_log: int,
