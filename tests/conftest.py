@@ -2,15 +2,20 @@ import os
 import subprocess
 import sys
 
-# JAX tests run on a virtual 8-device CPU mesh; must be set before jax import.
-# Force (not setdefault): the harness may export JAX_PLATFORMS=axon (TPU
-# tunnel), but the suite is designed for the deterministic CPU mesh.
+# JAX tests run on a virtual 8-device CPU mesh. The axon TPU plugin reads the
+# process environment at interpreter startup (a .pth-style hook), so setting
+# JAX_PLATFORMS in os.environ here is too late — pin the platform through
+# jax.config instead (effective because backends initialize lazily).
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

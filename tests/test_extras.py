@@ -79,3 +79,33 @@ def test_sequence_producer_validation():
             zstd_tpu.compress(b"x" * 50000, level=3)
     finally:
         zstd_tpu.register_sequence_producer(None)
+
+
+def test_pzstd_parallel_frames(ref):
+    from zstd_tpu.parallel.pzstd import pzstd_compress, pzstd_decompress
+    data = gen_text(3 * 1024 * 1024, 21)
+    blob = pzstd_compress(data, level=1, workers=4, chunk_size=1 << 20)
+    assert pzstd_decompress(blob, workers=4) == data
+    assert ref_decompress(blob) == data
+    # shards concatenate in order (the multi-host model)
+    b0 = pzstd_compress(data, level=1, chunk_size=1 << 20,
+                        shard_index=0, shard_count=2)
+    b1 = pzstd_compress(data, level=1, chunk_size=1 << 20,
+                        shard_index=1, shard_count=2)
+    assert pzstd_decompress(b0 + b1) == data
+
+
+def test_sharded_halo_mesh():
+    import jax
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+    import numpy as np
+    from zstd_tpu.parallel.shard_compress import compress_step, make_mesh
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 32, 512, dtype=np.uint8)
+    blocks = np.tile(base, (8, 4))
+    lens = np.full(8, 2048, dtype=np.int32)
+    out = compress_step(mesh, blocks, lens, hash_log=10, mls=5)
+    assert out["shard_seq_totals"].shape == (4,)
+    assert int(np.sum(np.asarray(out["nb_seq"]))) > 0

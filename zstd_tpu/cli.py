@@ -49,6 +49,8 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("-T", "--threads", type=int, default=0, metavar="#")
     p.add_argument("--long", nargs="?", const=27, type=int, metavar="windowLog")
     p.add_argument("--patch-from", dest="patch_from", metavar="FILE")
+    p.add_argument("--adapt", nargs="?", const="", metavar="min=#,max=#",
+                   dest="adapt")
     p.add_argument("--no-check", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--engine", choices=["auto", "tpu", "host"], default="auto")
@@ -74,11 +76,43 @@ def _pick_engine(args) -> str:
         return "host"
 
 
+def _compress_adaptive(data: bytes, args) -> bytes:
+    """--adapt analog (zstdcli.c:984 / fileio.c FIO_compressZstdFrame's
+    speed-feedback loop): compress in chunks, raising the level while
+    throughput stays above target and lowering it when it drops. Output is
+    standard multi-frame zstd."""
+    lo, hi = 1, 19
+    for part in (args.adapt or "").split(","):
+        if part.startswith("min="):
+            lo = int(part[4:])
+        elif part.startswith("max="):
+            hi = int(part[4:])
+    import zstd_tpu
+    level = min(max(args.level or 3, lo), hi)
+    target_mbps = 20.0
+    out = bytearray()
+    chunk = 4 * 1024 * 1024
+    for i in range(0, max(len(data), 1), chunk):
+        piece = data[i : i + chunk]
+        t0 = time.time()
+        out += zstd_tpu.compress(piece, level=level,
+                                 checksum=not args.no_check)
+        dt = max(time.time() - t0, 1e-6)
+        mbps = len(piece) / dt / 1e6
+        if mbps < target_mbps / 2 and level > lo:
+            level -= 1
+        elif mbps > target_mbps * 2 and level < hi:
+            level += 1
+    return bytes(out)
+
+
 def _compress_bytes(data: bytes, args) -> bytes:
     level = args.level if args.level is not None else 3
     if args.fast is not None:
         level = -args.fast
     checksum = not args.no_check
+    if args.adapt is not None:
+        return _compress_adaptive(data, args)
     if args.patch_from:
         from .format.codec import compress_patch
         patch = open(args.patch_from, "rb").read()

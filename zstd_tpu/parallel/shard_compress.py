@@ -37,14 +37,31 @@ def sharded_extract_fn(mesh: Mesh, hash_log: int, mls: int, seq_cap: int,
     per-shard sequence counts mirrors zstdmt's ordered flush bookkeeping.
     """
 
+    HALO = 128  # window-overlap bytes passed neighbor-to-neighbor
+
     def per_shard(blocks, lens):
-        res = extract_batch(blocks, lens, hash_log, mls, seq_cap)
-        lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
+        # window halo: the previous shard's last block tail rides ICI via
+        # ppermute (zstdmt overlapLog analog); shard 0 receives zeros.
+        nsh = jax.lax.axis_size(axis)
+        tail = blocks[-1, -HALO:]
+        perm = [(i, (i + 1) % nsh) for i in range(nsh)]
+        halo = jax.lax.ppermute(tail[None], axis, perm)[0]
+        idx = jax.lax.axis_index(axis)
+        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
+
+        # extended blocks: block j sees the previous block's tail (intra-
+        # shard: its neighbor row; block 0: the cross-shard halo), so match
+        # offsets may legally reach across block boundaries — the decoder
+        # window spans blocks.
+        prev_tails = jnp.concatenate([halo[None], blocks[:-1, -HALO:]], axis=0)
+        ext = jnp.concatenate([prev_tails, blocks], axis=1)
+        ext_lens = lens + HALO
+        res = extract_batch(ext, ext_lens, hash_log, mls, seq_cap)
+        lits = jnp.take_along_axis(ext, res["lit_idx"], axis=1)
         # per-shard totals, exchanged so every shard knows the global layout
         # (one-hot + psum == ordered all-gather, and yields a replicated
-        # result the partitioner can verify)
-        idx = jax.lax.axis_index(axis)
-        nsh = jax.lax.axis_size(axis)
+        # result the partitioner can verify); the in-order stitch and the
+        # serial XXH64 chain stay on the host, as in zstdmt's flushProduced.
         onehot = (jnp.arange(nsh, dtype=jnp.int32) == idx).astype(jnp.int32)
         all_seqs = jax.lax.psum(onehot * jnp.sum(res["nb_seq"]), axis)
         all_lits = jax.lax.psum(onehot * jnp.sum(res["nb_lit"]), axis)
