@@ -65,7 +65,15 @@ def decompress(data: bytes,
     pos = 0
     if len(data) == 0:
         raise ZstdError(ZstdErrorCode.srcSize_wrong, "empty input")
+    # pre-1.0 formats (ZSTD_isLegacy analog,
+    # /root/reference/lib/legacy/zstd_legacy.h:56): detected, documented
+    # unsupported (decompression-only legacy decoders are a non-goal v1)
+    _LEGACY_MAGICS = {0x1EB52FFD} | {0xFD2FB522 + i for i in range(6)}
     while pos < len(data):
+        if pos + 4 <= len(data) and \
+                int.from_bytes(data[pos : pos + 4], "little") in _LEGACY_MAGICS:
+            raise ZstdError(ZstdErrorCode.prefix_unknown,
+                            "legacy zstd frame (v0.x): unsupported")
         if is_skippable(data, pos):
             if pos + 8 > len(data):
                 raise ZstdError(ZstdErrorCode.srcSize_wrong, "truncated skippable frame")
