@@ -328,7 +328,24 @@ static int huf_decode_stream(const HufDT* t, const uint8_t* src, int64_t size,
     BitRd br;
     if (bitrd_init(&br, src, size) < 0) return -1;
     int tlog = t->log;
-    for (int64_t i = 0; i < n_out; i++) {
+    uint32_t mask = (1u << tlog) - 1;
+    int64_t i = 0;
+    /* fast loop: one 64-bit load serves 4 symbol decodes */
+    while (i + 4 <= n_out && br.bit_pos >= 57) {
+        int64_t lo = br.bit_pos - 57;
+        int64_t byte = lo >> 3;
+        if (byte + 8 > size) break;
+        uint64_t v;
+        memcpy(&v, br.start + byte, 8);
+        int64_t bb = byte << 3;
+        for (int k = 0; k < 4; k++) {
+            int64_t p = br.bit_pos - tlog;
+            uint32_t idx = (uint32_t)((v >> (p - bb)) & mask);
+            dst[i++] = t->sym[idx];
+            br.bit_pos -= t->nb[idx];
+        }
+    }
+    for (; i < n_out; i++) {
         int64_t p = br.bit_pos - tlog;
         uint32_t idx;
         if (p >= 0) {
