@@ -289,15 +289,17 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
                      int64_t seq_cap,
                      int hash_log, int search_log, int min_match,
                      int target_len) {
-    (void)min_match; (void)target_len;
+    (void)min_match;
     int64_t n = block_end - block_start;
     if (n < 16) return 0;
     if (hash_log > 24) hash_log = 24;
     if (hash_log < 12) hash_log = 12;
     /* deep chain walk: each attempt is one candidate visit; the dense walk
-       substitutes for the reference's binary-tree search quality */
+       substitutes for the reference's binary-tree search quality. btultra2
+       rows (targetLength >= 256, levels 19+) walk deepest. */
     int attempts = 1 << (search_log < 4 ? 4 : (search_log > 10 ? 10 : search_log));
-    if (attempts < 256) attempts = 256;
+    int min_att = (target_len >= 256) ? 512 : 256;
+    if (attempts < min_att) attempts = min_att;
 
     int64_t n_total = block_end - window_low;
     Chains C;
@@ -332,7 +334,7 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
 
     /* pass 2+: iterated DP (second iteration re-prices from the first
        iteration's own parse — the btultra2 self-seeding idea) */
-    int n_iters = (n >= 4096) ? 2 : 1;
+    int n_iters = (n >= 4096) ? 3 : 1;
     for (int iter = 0; iter < n_iters; iter++) {
     memcpy(C.head, head_copy, head_bytes);   /* reset to prefix state */
     memcpy(C.head3, head3_copy, head3_bytes);
