@@ -38,7 +38,7 @@ _CH = 128          # compare/copy vector width (bytes)
 PAD = 2 * _CH      # caller pads the byte rows by this much
 
 
-def _extract_kernel(vl_ref, bytes_ref, cand_ref,
+def _extract_kernel(vl_ref, bytes_ref, cand_ref, nxt_ref,
                     ll_ref, off_ref, ml_ref, lit_ref, nb_ref, nblit_ref):
     cap = ll_ref.shape[2]
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, _CH), 1)
@@ -118,6 +118,9 @@ def _extract_kernel(vl_ref, bytes_ref, cand_ref,
                          lambda: lcp(ip, c, vl - ip),
                          lambda: jnp.int32(0))
         take = l >= 4
+        # jump table: next position whose candidate matches 4 bytes — skips
+        # bytewise stepping through unmatchable regions (output-identical)
+        nxt = load_scalar(nxt_ref, jnp.minimum(ip + 1, limit_pos))
 
         def committed(_):
             d = ip - c
@@ -138,7 +141,7 @@ def _extract_kernel(vl_ref, bytes_ref, cand_ref,
             return (ip + l, ip + l, k + 1, r + ll)
 
         def skipped(_):
-            return (ip + 1, anchor, k, r)
+            return (jnp.maximum(nxt, ip + 1), anchor, k, r)
 
         return jax.lax.cond(take, committed, skipped, None)
 
@@ -154,9 +157,10 @@ def _extract_kernel(vl_ref, bytes_ref, cand_ref,
 
 @functools.partial(jax.jit, static_argnames=("cap",))
 def extract_compact(blocks_padded: jax.Array, cands_padded: jax.Array,
-                    valid_lens: jax.Array, cap: int):
+                    nxt_padded: jax.Array, valid_lens: jax.Array, cap: int):
     """blocks_padded: int32[B, N+PAD] (widened bytes, zero tail);
     cands_padded: int32[B, N+PAD] (candidate index or -1, padded);
+    nxt_padded: int32[B, N+PAD] (next 4-byte-match position jump table);
     valid_lens: int32[B].
 
     Returns (ll, off, ml int32[B, cap], lits int32[B, N+PAD],
@@ -166,6 +170,7 @@ def extract_compact(blocks_padded: jax.Array, cands_padded: jax.Array,
                            (B, 1, _CH))
     b3 = blocks_padded.reshape(B, 1, n_pad)
     c3 = cands_padded.reshape(B, 1, n_pad)
+    x3 = nxt_padded.reshape(B, 1, n_pad)
 
     def spec(width):
         return pl.BlockSpec((1, 1, width), lambda b: (b, 0, 0),
@@ -173,7 +178,7 @@ def extract_compact(blocks_padded: jax.Array, cands_padded: jax.Array,
 
     grid_spec = pl.GridSpec(
         grid=(B,),
-        in_specs=[spec(_CH), spec(n_pad), spec(n_pad)],
+        in_specs=[spec(_CH), spec(n_pad), spec(n_pad), spec(n_pad)],
         out_specs=[spec(cap), spec(cap), spec(cap), spec(n_pad),
                    spec(_CH), spec(_CH)],
     )
@@ -188,6 +193,6 @@ def extract_compact(blocks_padded: jax.Array, cands_padded: jax.Array,
             jax.ShapeDtypeStruct((B, 1, _CH), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, _CH), jnp.int32),
         ],
-    )(vl3, b3, c3)
+    )(vl3, b3, c3, x3)
     return (ll[:, 0], off[:, 0], ml[:, 0], lits[:, 0],
             nb[:, 0, 0], nblit[:, 0, 0])

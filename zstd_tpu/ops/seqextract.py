@@ -121,9 +121,25 @@ def extract_batch_pallas(blocks: jax.Array, valid_lens: jax.Array,
         return prev_same_bucket(h, v)
 
     cands = jax.vmap(prop)(blocks, valid_lens)
+
+    def next_possible(b, cand):
+        """nxt[i] = smallest j >= i whose candidate matches 4 bytes — the
+        serial scan jumps between these instead of stepping bytewise through
+        unmatchable (e.g. incompressible) regions. Equivalent commit order:
+        positions without a 4-byte match can never satisfy l >= 4."""
+        from .match import words_at
+        w32 = words_at(b)
+        ok = (cand >= 0) & (w32 == w32[jnp.maximum(cand, 0)])
+        pos = jnp.arange(n, dtype=jnp.int32)
+        big = jnp.int32(n + PAD)
+        cand_pos = jnp.where(ok, pos, big)
+        return jax.lax.associative_scan(jnp.minimum, cand_pos, reverse=True)
+
+    nxt = jax.vmap(next_possible)(blocks, cands)
     bp = jnp.pad(blocks.astype(jnp.int32), ((0, 0), (0, PAD)))
     cp = jnp.pad(cands, ((0, 0), (0, PAD)), constant_values=-1)
-    ll, off, ml, lits, nb, nb_lit = extract_compact(bp, cp, valid_lens,
+    xp = jnp.pad(nxt, ((0, 0), (0, PAD)), constant_values=n + PAD)
+    ll, off, ml, lits, nb, nb_lit = extract_compact(bp, cp, xp, valid_lens,
                                                     seq_cap)
     return {
         "nb_seq": nb,
