@@ -91,3 +91,57 @@ def test_decompress_stream_byte_at_a_time():
         out += ds.write(blob[i : i + 1])
     out += ds.finish()
     assert bytes(out) == data
+
+
+def test_xxh64_incremental_matches_oneshot():
+    from zstd_tpu.xxhash64 import Xxh64, xxh64, _xxh64_py
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 100001, dtype=np.uint8).tobytes()
+    for seed in (0, 12345):
+        h = Xxh64(seed)
+        pos = 0
+        while pos < len(data):
+            k = int(rng.integers(1, 997))
+            h.update(data[pos:pos + k])
+            pos += k
+        assert h.digest() == xxh64(data, seed) == _xxh64_py(data, seed)
+    # tiny inputs exercise the <32-byte path
+    for n in (0, 1, 7, 31, 32, 33):
+        h = Xxh64(0)
+        h.update(data[:n])
+        assert h.digest() == xxh64(data[:n], 0)
+    # reuse after reset
+    h = Xxh64(0)
+    h.update(b"garbage")
+    h.reset()
+    h.update(data[:50])
+    assert h.digest() == xxh64(data[:50], 0)
+
+
+def test_decompress_stream_verifies_checksum():
+    """Streaming decode must reject a frame whose checksum was corrupted
+    (parity: /root/reference/lib/decompress/zstd_decompress.c:1047-1057)."""
+    from zstd_tpu.errors import ZstdError, ZstdErrorCode
+    data = gen_text(200000, seed=9)
+    cs = CompressStream(level=1, checksum=True)
+    blob = bytearray(cs.write(data) + cs.finish())
+    blob[-2] ^= 0x40  # flip a bit in the stored Content_Checksum
+    ds = DecompressStream()
+    with pytest.raises(ZstdError) as ei:
+        ds.write(bytes(blob))
+        ds.finish()
+    assert ei.value.code == ZstdErrorCode.checksum_wrong
+    # and the pristine frame still verifies
+    blob[-2] ^= 0x40
+    ds = DecompressStream()
+    out = ds.write(bytes(blob)) + ds.finish()
+    assert out == data
+
+
+def test_compress_stream_constant_memory_checksum():
+    """CompressStream must not retain input for checksumming (O(1) state)."""
+    cs = CompressStream(level=1, checksum=True)
+    cs.write(gen_text(300000, seed=4))
+    assert not hasattr(cs, "_xxh_parts")
+    from zstd_tpu.xxhash64 import Xxh64
+    assert isinstance(cs._xxh, Xxh64)

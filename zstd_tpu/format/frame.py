@@ -232,9 +232,13 @@ def _decompress_frame_native(data: bytes, pos: int, hdr: FrameHeader,
         buf = np.empty(p0 + hdr.frame_content_size + BLOCK_MAX_SIZE,
                        dtype=np.uint8)
     else:
-        # unknown content size: ring buffer, flush beyond-window prefix out
-        buf = np.empty(p0 + 2 * min(window, 1 << 27) + 2 * BLOCK_MAX_SIZE,
-                       dtype=np.uint8)
+        # unknown content size: ring buffer, flush beyond-window prefix out.
+        # Windows beyond the ring capacity would make the flush step below
+        # retain less than the window (no forward progress); hand those to
+        # the fully-buffered Python decoder explicitly.
+        if window > (1 << 27):
+            return None
+        buf = np.empty(p0 + 2 * window + 2 * BLOCK_MAX_SIZE, dtype=np.uint8)
     if p0:
         buf[:p0] = np.frombuffer(prefix, dtype=np.uint8)
     flushed: list[bytes] = []
@@ -262,7 +266,10 @@ def _decompress_frame_native(data: bytes, pos: int, hdr: FrameHeader,
             btype = (bh >> 1) & 3
             bsize = bh >> 3
             if btype == BT_RAW:
-                if pos + bsize > len(data) or out_pos + bsize > len(buf):
+                # bsize > block_max is corruption in the reference decoder
+                # (ZSTD_getcBlockSize); keep both decode paths equally strict.
+                if pos + bsize > len(data) or out_pos + bsize > len(buf) \
+                        or bsize > block_max:
                     return None
                 buf[out_pos : out_pos + bsize] = np.frombuffer(
                     data[pos : pos + bsize], dtype=np.uint8)

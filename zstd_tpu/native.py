@@ -26,6 +26,15 @@ class _Native:
         self._lib = lib
         lib.zt_xxh64.restype = ctypes.c_uint64
         lib.zt_xxh64.argtypes = [ctypes.c_char_p, ctypes.c_size_t, ctypes.c_uint64]
+        lib.zt_xxh64_state_size.restype = ctypes.c_size_t
+        lib.zt_xxh64_state_size.argtypes = []
+        lib.zt_xxh64_reset.restype = None
+        lib.zt_xxh64_reset.argtypes = [ctypes.c_void_p, ctypes.c_uint64]
+        lib.zt_xxh64_update.restype = None
+        lib.zt_xxh64_update.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
+                                        ctypes.c_size_t]
+        lib.zt_xxh64_digest.restype = ctypes.c_uint64
+        lib.zt_xxh64_digest.argtypes = [ctypes.c_void_p]
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
@@ -44,6 +53,18 @@ class _Native:
 
     def xxh64(self, data: bytes, seed: int = 0) -> int:
         return self._lib.zt_xxh64(data, len(data), seed)
+
+    def xxh64_state(self) -> ctypes.Array:
+        return ctypes.create_string_buffer(self._lib.zt_xxh64_state_size())
+
+    def xxh64_reset(self, state, seed: int = 0) -> None:
+        self._lib.zt_xxh64_reset(state, seed)
+
+    def xxh64_update(self, state, data: bytes) -> None:
+        self._lib.zt_xxh64_update(state, data, len(data))
+
+    def xxh64_digest(self, state) -> int:
+        return self._lib.zt_xxh64_digest(state)
 
     def dctx_new(self):
         return self._lib.zt_dctx_new()

@@ -21,7 +21,7 @@ from .errors import ZstdError, ZstdErrorCode
 from .format.block import BlockCState, BlockDState, compress_block, decompress_block
 from .format.frame import parse_frame_header, write_frame_header, is_skippable
 from .params import CParams, get_cparams
-from .xxhash64 import xxh64
+from .xxhash64 import Xxh64
 
 
 class EndDirective(enum.Enum):
@@ -50,7 +50,7 @@ class CompressStream:
         self._state = BlockCState()
         self._started = False
         self._finished = False
-        self._xxh_parts: list[bytes] = []
+        self._xxh = Xxh64(0) if checksum else None
         self._total_in = 0
 
     def _header(self) -> bytes:
@@ -68,8 +68,8 @@ class CompressStream:
             self._started = True
         self._buf += data
         self._total_in += len(data)
-        if self.checksum:
-            self._xxh_parts.append(bytes(data))
+        if self._xxh is not None:
+            self._xxh.update(data)
         while len(self._buf) >= self.block_size:
             out += self._emit_block(self.block_size, last=False)
         return bytes(out)
@@ -97,8 +97,8 @@ class CompressStream:
             out += self._emit_block(self.block_size, last=False)
         out += self._emit_block(len(self._buf), last=True)
         self._finished = True
-        if self.checksum:
-            h = xxh64(b"".join(self._xxh_parts)) & 0xFFFFFFFF
+        if self._xxh is not None:
+            h = self._xxh.digest() & 0xFFFFFFFF
             out += h.to_bytes(4, "little")
         return bytes(out)
 
@@ -141,6 +141,7 @@ class DecompressStream:
         self._emitted = 0
         self._dstate = BlockDState()
         self._last_block_seen = False
+        self._xxh = None
 
     def write(self, data: bytes) -> bytes:
         """Feed input, returns newly decompressed bytes."""
@@ -168,6 +169,7 @@ class DecompressStream:
                 self._hdr = hdr
                 self._dstate = BlockDState()
                 self._frame_start = self._emitted + len(self._out)
+                self._xxh = Xxh64(0) if hdr.checksum_flag else None
                 self._stage = "blocks"
                 progress = True
             elif self._stage == "blocks":
@@ -180,7 +182,10 @@ class DecompressStream:
                 need = 3 + (1 if btype == 1 else bsize)
                 if len(self._in) < need:
                     break
+                pre = len(self._out)
                 self._decode_block(btype, bsize, bytes(self._in[3:need]))
+                if self._xxh is not None:
+                    self._xxh.update(memoryview(self._out)[pre:])
                 del self._in[:need]
                 produced += self._drain()
                 if last:
@@ -189,9 +194,15 @@ class DecompressStream:
             elif self._stage == "checksum":
                 if len(self._in) < 4:
                     break
-                # Note: streaming checksum verification needs the full frame
-                # content; retained content may be trimmed, so verify
-                # opportunistically only when fully retained.
+                # Always verified, incrementally over emitted output — the
+                # reference never skips this check
+                # (/root/reference/lib/decompress/zstd_decompress.c:1047-1057).
+                stored = int.from_bytes(self._in[:4], "little")
+                calc = self._xxh.digest() & 0xFFFFFFFF
+                if stored != calc:
+                    raise ZstdError(ZstdErrorCode.checksum_wrong,
+                                    f"content checksum {calc:#010x} != "
+                                    f"stored {stored:#010x}")
                 del self._in[:4]
                 self._stage = "header"
                 progress = True

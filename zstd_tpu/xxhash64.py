@@ -78,6 +78,93 @@ def _xxh64_py(data: bytes, seed: int = 0) -> int:
     return h
 
 
+class Xxh64:
+    """Incremental XXH64 (reset/update/digest), O(1) memory.
+
+    Parity: XXH64_reset/update/digest streaming API used per block by the
+    reference decoder (/root/reference/lib/decompress/zstd_decompress.c:1032)
+    and per job by zstdmt. Uses the native state when available; the Python
+    fallback keeps v1..v4 plus a <32-byte tail buffer.
+    """
+
+    def __init__(self, seed: int = 0):
+        self._seed = seed
+        nat = get_native()
+        self._nat = nat
+        if nat is not None:
+            self._state = nat.xxh64_state()
+            nat.xxh64_reset(self._state, seed)
+        else:
+            self.reset(seed)
+
+    def reset(self, seed: int | None = None) -> None:
+        if seed is not None:
+            self._seed = seed
+        s = self._seed
+        if self._nat is not None:
+            self._nat.xxh64_reset(self._state, s)
+            return
+        self._v1 = (s + _P1 + _P2) & _M
+        self._v2 = (s + _P2) & _M
+        self._v3 = s & _M
+        self._v4 = (s - _P1) & _M
+        self._tail = b""
+        self._total = 0
+
+    def update(self, data: bytes | bytearray | memoryview) -> None:
+        data = bytes(data)
+        if self._nat is not None:
+            self._nat.xxh64_update(self._state, data)
+            return
+        self._total += len(data)
+        buf = self._tail + data
+        p = 0
+        limit = len(buf) - 32
+        v1, v2, v3, v4 = self._v1, self._v2, self._v3, self._v4
+        while p <= limit:
+            v1 = _round(v1, int.from_bytes(buf[p:p + 8], "little")); p += 8
+            v2 = _round(v2, int.from_bytes(buf[p:p + 8], "little")); p += 8
+            v3 = _round(v3, int.from_bytes(buf[p:p + 8], "little")); p += 8
+            v4 = _round(v4, int.from_bytes(buf[p:p + 8], "little")); p += 8
+        self._v1, self._v2, self._v3, self._v4 = v1, v2, v3, v4
+        self._tail = buf[p:]
+
+    def digest(self) -> int:
+        if self._nat is not None:
+            return self._nat.xxh64_digest(self._state)
+        n = self._total
+        tail = self._tail
+        if n >= 32:
+            h = (_rotl(self._v1, 1) + _rotl(self._v2, 7)
+                 + _rotl(self._v3, 12) + _rotl(self._v4, 18)) & _M
+            h = _merge(h, self._v1)
+            h = _merge(h, self._v2)
+            h = _merge(h, self._v3)
+            h = _merge(h, self._v4)
+        else:
+            h = (self._seed + _P5) & _M
+        h = (h + n) & _M
+        p = 0
+        while p + 8 <= len(tail):
+            h ^= _round(0, int.from_bytes(tail[p:p + 8], "little"))
+            h = (_rotl(h, 27) * _P1 + _P4) & _M
+            p += 8
+        if p + 4 <= len(tail):
+            h ^= (int.from_bytes(tail[p:p + 4], "little") * _P1) & _M
+            h = (_rotl(h, 23) * _P2 + _P3) & _M
+            p += 4
+        while p < len(tail):
+            h ^= (tail[p] * _P5) & _M
+            h = (_rotl(h, 11) * _P1) & _M
+            p += 1
+        h ^= h >> 33
+        h = (h * _P2) & _M
+        h ^= h >> 29
+        h = (h * _P3) & _M
+        h ^= h >> 32
+        return h
+
+
 def xxh64(data: bytes | bytearray | memoryview, seed: int = 0) -> int:
     nat = get_native()
     if nat is not None:
