@@ -117,6 +117,15 @@ def _compress_bytes(data: bytes, args) -> bytes:
         from .format.codec import compress_patch
         patch = open(args.patch_from, "rb").read()
         return compress_patch(data, patch, level=level, checksum=checksum)
+    nb_workers = args.threads
+    if nb_workers == 0 and len(data) >= (1 << 23):
+        nb_workers = min(os.cpu_count() or 1, 4)
+    if nb_workers > 1 and args.dictionary is None and not args.long:
+        # -T#: pzstd-style parallel independent frames (multi-frame output
+        # any decoder reads; /root/reference/contrib/pzstd/Pzstd.cpp:73)
+        from .parallel.pzstd import pzstd_compress
+        return pzstd_compress(data, level=level, checksum=checksum,
+                              workers=nb_workers)
     engine = _pick_engine(args)
     if engine == "tpu" and level <= 2 and args.dictionary is None:
         from . import pipeline
@@ -135,6 +144,10 @@ def _compress_bytes(data: bytes, args) -> bytes:
 def _decompress_bytes(data: bytes, args) -> bytes:
     import zstd_tpu
     wlog_max = args.memory if args.memory else (args.long if args.long else 27)
+    if args.threads > 1 and not args.dictionary and not args.patch_from:
+        from .parallel.pzstd import pzstd_decompress
+        return pzstd_decompress(data, workers=args.threads,
+                                window_log_max=wlog_max)
     if args.patch_from:
         from .format.codec import decompress_patch
         patch = open(args.patch_from, "rb").read()

@@ -205,8 +205,13 @@ def greedy_resolve(take_len: jax.Array, valid_len: jax.Array,
 
 
 def find_matches_block(block: jax.Array, valid_len: jax.Array,
-                       hash_log: int, mls: int) -> tuple[jax.Array, jax.Array, jax.Array]:
+                       hash_log: int, mls: int, emit_from=0,
+                       halo_ok=True) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Full propose+resolve for one (padded) block.
+
+    Positions below `emit_from` are window context (halo): they are hashed
+    and may be candidates, but never commit matches. With halo_ok False,
+    candidates below emit_from are banned too (fabricated halo).
 
     Returns (committed mask bool[n], match_len int32[n], cand int32[n]).
     Sequence extraction (mask -> compacted seqstore) happens in the caller.
@@ -214,12 +219,15 @@ def find_matches_block(block: jax.Array, valid_len: jax.Array,
     n = block.shape[0]
     # positions too close to the end never start a match (tail literal margin)
     margin = 8
+    emit_from = jnp.asarray(emit_from, jnp.int32)
+    halo_ok = jnp.asarray(halo_ok, jnp.bool_)
     w32 = words_at(block)
     h = hash_positions(block, hash_log, mls, w32)
     cand = prev_same_bucket(h, valid_len)
+    cand = jnp.where(halo_ok | (cand >= emit_from), cand, -1)
     mlen = match_lengths(block, cand, valid_len, w32)
     pos = jnp.arange(n, dtype=jnp.int32)
-    mlen = jnp.where(pos < valid_len - margin, mlen, 0)
+    mlen = jnp.where((pos < valid_len - margin) & (pos >= emit_from), mlen, 0)
     n_log2 = max(1, int(np.ceil(np.log2(max(n, 2)))))
     committed = greedy_resolve(mlen, valid_len, n_log2)
     return committed, mlen, cand

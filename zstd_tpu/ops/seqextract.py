@@ -21,8 +21,14 @@ from .match import backward_extension, find_matches_block
 
 
 def extract_block(block: jax.Array, valid_len: jax.Array, hash_log: int,
-                  mls: int, seq_cap: int):
+                  mls: int, seq_cap: int, emit_from=0, halo_ok=True):
     """Run match finding + compaction for one padded block.
+
+    `emit_from`: positions below it are window context only (zstdmt overlap
+    halo, /root/reference/lib/compress/zstdmt_compress.c:588): they may serve
+    as match *candidates* but never emit sequences or literals. `halo_ok`
+    False additionally bans candidates inside [0, emit_from) — used for the
+    very first block, whose halo rows are fabricated zeros.
 
     Returns dict of device arrays:
       nb_seq: int32 scalar
@@ -32,7 +38,10 @@ def extract_block(block: jax.Array, valid_len: jax.Array, hash_log: int,
     """
     n = block.shape[0]
     pos = jnp.arange(n, dtype=jnp.int32)
-    committed, mlen, cand = find_matches_block(block, valid_len, hash_log, mls)
+    emit_from = jnp.asarray(emit_from, jnp.int32)
+    committed, mlen, cand = find_matches_block(
+        block, valid_len, hash_log, mls,
+        emit_from=emit_from, halo_ok=halo_ok)
 
     # --- backward extension of committed matches ---------------------------
     back = backward_extension(block, cand)
@@ -43,6 +52,7 @@ def extract_block(block: jax.Array, valid_len: jax.Array, hash_log: int,
     ends = jnp.where(committed, pos + take_len, 0)
     prev_end_incl = jax.lax.associative_scan(jnp.maximum, ends)  # inclusive
     prev_end = jnp.concatenate([jnp.zeros(1, jnp.int32), prev_end_incl[:-1]])
+    prev_end = jnp.maximum(prev_end, emit_from)  # never extend into the halo
     ext = jnp.minimum(back, jnp.maximum(pos - prev_end, 0))
     ext = jnp.where(committed, ext, 0)
 
@@ -65,7 +75,7 @@ def extract_block(block: jax.Array, valid_len: jax.Array, hash_log: int,
     # literal lengths: gap between previous match end and this match start
     s_rank = jnp.arange(seq_cap, dtype=jnp.int32)
     prev_match_end = jnp.where(
-        s_rank == 0, 0,
+        s_rank == 0, emit_from,
         jnp.roll(seq_start + seq_len, 1))
     ll = seq_start - prev_match_end
     valid_seq = s_rank < nb_seq
@@ -80,7 +90,7 @@ def extract_block(block: jax.Array, valid_len: jax.Array, hash_log: int,
     covered_delta = covered_delta.at[start + length].add(
         jnp.where(committed, -1, 0), mode="drop")
     covered = jnp.cumsum(covered_delta[:n]) > 0
-    is_lit = (~covered) & (pos < valid_len)
+    is_lit = (~covered) & (pos >= emit_from) & (pos < valid_len)
     nb_lit = jnp.sum(is_lit.astype(jnp.int32))
     lit_rank = jnp.cumsum(is_lit.astype(jnp.int32)) - 1
     lit_idx = jnp.full(n, n - 1, dtype=jnp.int32)
@@ -98,10 +108,16 @@ def extract_block(block: jax.Array, valid_len: jax.Array, hash_log: int,
 
 
 def extract_batch(blocks: jax.Array, valid_lens: jax.Array, hash_log: int,
-                  mls: int, seq_cap: int):
-    """vmapped extract over B blocks: blocks uint8[B, n]."""
-    fn = jax.vmap(lambda b, v: extract_block(b, v, hash_log, mls, seq_cap))
-    return fn(blocks, valid_lens)
+                  mls: int, seq_cap: int, emit_from=None, halo_ok=None):
+    """vmapped extract over B blocks: blocks uint8[B, n]. Optional per-block
+    emit_from[B] / halo_ok[B] for window-halo context (see extract_block)."""
+    if emit_from is None:
+        fn = jax.vmap(
+            lambda b, v: extract_block(b, v, hash_log, mls, seq_cap))
+        return fn(blocks, valid_lens)
+    fn = jax.vmap(lambda b, v, e, ho: extract_block(
+        b, v, hash_log, mls, seq_cap, emit_from=e, halo_ok=ho))
+    return fn(blocks, valid_lens, emit_from, halo_ok)
 
 
 def extract_batch_pallas(blocks: jax.Array, valid_lens: jax.Array,

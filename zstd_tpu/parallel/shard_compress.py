@@ -1,12 +1,14 @@
-"""Sharded block compression over a device mesh.
+"""Sharded block extraction over a device mesh (collective-structure demo).
 
 Maps the zstdmt job model (SURVEY.md §2.7) onto a `dp` mesh axis: every
-device owns a contiguous run of 128 KiB blocks of the frame, runs the full
-extract + entropy-pack pipeline on them, and contributes its compressed bit
-counts to an all_gather so every participant knows the output layout
-(the ordered-stitch metadata). Blocks are independent in the TPU pipeline
-(block-local window), so the sharding is exact — no halo needed until the
-windowed/dfast paths land (then: ppermute of the previous block's tail).
+device owns a contiguous run of 128 KiB blocks, the previous block's tail is
+window *context only* (ppermute halo; sequences are emitted from emit_from
+onward, candidates may reach into the halo), and per-shard totals ride a
+psum so every participant knows the global layout.
+
+The full end-to-end frame producer lives in `parallel.zstdmt`
+(compress_sharded) — this module keeps the minimal step used by
+__graft_entry__.dryrun_multichip and the mesh tests.
 """
 
 from __future__ import annotations
@@ -41,22 +43,25 @@ def sharded_extract_fn(mesh: Mesh, hash_log: int, mls: int, seq_cap: int,
 
     def per_shard(blocks, lens):
         # window halo: the previous shard's last block tail rides ICI via
-        # ppermute (zstdmt overlapLog analog); shard 0 receives zeros.
+        # ppermute (zstdmt overlapLog analog); shard 0's first block has no
+        # real history, so its candidates into the halo are masked off.
         nsh = jax.lax.axis_size(axis)
         tail = blocks[-1, -HALO:]
         perm = [(i, (i + 1) % nsh) for i in range(nsh)]
         halo = jax.lax.ppermute(tail[None], axis, perm)[0]
         idx = jax.lax.axis_index(axis)
-        halo = jnp.where(idx == 0, jnp.zeros_like(halo), halo)
 
-        # extended blocks: block j sees the previous block's tail (intra-
-        # shard: its neighbor row; block 0: the cross-shard halo), so match
-        # offsets may legally reach across block boundaries — the decoder
-        # window spans blocks.
+        # extended blocks: block j sees the previous block's tail as search
+        # context (intra-shard: its neighbor row; block 0: the cross-shard
+        # halo). Sequences are emitted for [HALO, HALO+len) only; offsets may
+        # legally reach into the halo — the decoder window spans blocks.
         prev_tails = jnp.concatenate([halo[None], blocks[:-1, -HALO:]], axis=0)
         ext = jnp.concatenate([prev_tails, blocks], axis=1)
-        ext_lens = lens + HALO
-        res = extract_batch(ext, ext_lens, hash_log, mls, seq_cap)
+        b_loc = blocks.shape[0]
+        emit_from = jnp.full((b_loc,), HALO, jnp.int32)
+        halo_ok = (jnp.arange(b_loc) > 0) | (idx > 0)
+        res = extract_batch(ext, lens + HALO, hash_log, mls, seq_cap,
+                            emit_from=emit_from, halo_ok=halo_ok)
         lits = jnp.take_along_axis(ext, res["lit_idx"], axis=1)
         # per-shard totals, exchanged so every shard knows the global layout
         # (one-hot + psum == ordered all-gather, and yields a replicated
