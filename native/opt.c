@@ -83,18 +83,37 @@ static int64_t log2_frac(uint32_t num, uint32_t den) {
     return (int64_t)(log2((double)num / (double)den) * SCALE + 0.5);
 }
 
-static void prices_rebuild(Prices* P) {
+static void prices_rebuild_ex(Prices* P, int64_t PRIOR) {
+    /* Optimistic floor on sequence-code prices: a code absent from the
+     * seeding parse would otherwise cost log2(total/1) ~ 10+ bits, which
+     * prices it out of the NEXT parse too — a self-reinforcing equilibrium
+     * that permanently rejects e.g. 3-byte rep matches on stride data.
+     * The reference dodges this by rescaling counts toward a baseline
+     * (ZSTD_rescaleFreqs, /root/reference/lib/compress/zstd_opt.c:141);
+     * here: early iterations cap code prices at an optimistic prior so
+     * unseen-but-plausible codes stay reachable; the final iteration
+     * relaxes the cap so real (learned) frequencies decide. */
     for (int i = 0; i < 256; i++)
         P->lit_price[i] = log2_frac(P->lit_tot + 256, P->lit[i] + 1);
-    for (int i = 0; i < 36; i++)
-        P->ll_price[i] = log2_frac(P->ll_tot + 36, P->llc[i] + 1)
-                         + (int64_t)SCALE * LL_BITS[i];
-    for (int i = 0; i < 53; i++)
-        P->ml_price[i] = log2_frac(P->ml_tot + 53, P->mlc[i] + 1)
-                         + (int64_t)SCALE * ML_BITS[i];
-    for (int i = 0; i < 32; i++)
-        P->of_price[i] = log2_frac(P->of_tot + 32, P->ofc[i] + 1)
-                         + (int64_t)SCALE * i;  /* ofCode == nb extra bits */
+    for (int i = 0; i < 36; i++) {
+        int64_t p = log2_frac(P->ll_tot + 36, P->llc[i] + 1);
+        if (p > PRIOR) p = PRIOR;
+        P->ll_price[i] = p + (int64_t)SCALE * LL_BITS[i];
+    }
+    for (int i = 0; i < 53; i++) {
+        int64_t p = log2_frac(P->ml_tot + 53, P->mlc[i] + 1);
+        if (p > PRIOR) p = PRIOR;
+        P->ml_price[i] = p + (int64_t)SCALE * ML_BITS[i];
+    }
+    for (int i = 0; i < 32; i++) {
+        int64_t p = log2_frac(P->of_tot + 32, P->ofc[i] + 1);
+        if (p > PRIOR) p = PRIOR;
+        P->of_price[i] = p + (int64_t)SCALE * i;  /* ofCode == nb extra bits */
+    }
+}
+
+static void prices_rebuild(Prices* P) {
+    prices_rebuild_ex(P, (int64_t)(3.5 * SCALE));
 }
 
 static inline int64_t llp(const Prices* P, uint32_t ll) {
@@ -154,12 +173,14 @@ typedef struct { uint32_t len; uint32_t dist; } Match;
    length is achieved at its smallest available distance */
 static int find_matches(const Chains* C, const uint8_t* base, int64_t pos,
                         int64_t window_low, int64_t limit_pos, int attempts,
-                        Match* out) {
+                        int32_t prev3, Match* out) {
     int n = 0;
     uint32_t best = MINMATCH - 1;
-    /* 3-byte probe: closest short match (len >= 3) */
+    /* 3-byte probe: closest short match (len >= 3). head3 has no chain, so
+     * the caller must capture it BEFORE inserting the current position
+     * (otherwise the probe only ever sees itself). */
     {
-        int32_t c3 = C->head3[hash3(base + pos)];
+        int32_t c3 = prev3;
         if (c3 >= 0 && c3 >= window_low && (int64_t)c3 < pos) {
             int64_t l = lcp(base + pos, base + c3, limit_pos - pos);
             if (l >= 3) {
@@ -245,6 +266,7 @@ static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
     int64_t ip = bs, anchor = bs;
     Match m[MAX_CAND];
     while (ip + 8 < be) {
+        int32_t prev3 = C->head3[hash3(base + ip)];
         chains_insert(C, base, ip);
         uint32_t bl = 0, bd = 0;
         for (int r = 0; r < 3; r++) {
@@ -256,7 +278,8 @@ static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
                 if ((uint32_t)l > bl) { bl = (uint32_t)l; bd = d; }
             }
         }
-        int nm = find_matches(C, base, ip, window_low, be, attempts, m);
+        int nm = find_matches(C, base, ip, window_low, be, attempts,
+                              prev3, m);
         if (nm > 0 && m[nm - 1].len > bl + 1) {
             bl = m[nm - 1].len;
             bd = m[nm - 1].dist;
@@ -288,7 +311,7 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
                      int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
                      int64_t seq_cap,
                      int hash_log, int search_log, int min_match,
-                     int target_len) {
+                     int target_len, int strategy) {
     (void)min_match;
     int64_t n = block_end - block_start;
     if (n < 16) return 0;
@@ -298,8 +321,13 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
        substitutes for the reference's binary-tree search quality. btultra2
        rows (targetLength >= 256, levels 19+) walk deepest. */
     int attempts = 1 << (search_log < 4 ? 4 : (search_log > 10 ? 10 : search_log));
-    int min_att = (target_len >= 256) ? 512 : 256;
+    /* depth ladder: the same DP serves levels 3-22; lazy-class levels use a
+       shallower walk (speed), btopt/btultra2 the deepest */
+    int min_att = (strategy <= 3) ? 48
+                : (strategy <= 5) ? 96
+                : (target_len >= 256) ? 512 : 256;
     if (attempts < min_att) attempts = min_att;
+    if (strategy <= 5 && attempts > min_att) attempts = min_att;
 
     int64_t n_total = block_end - window_low;
     Chains C;
@@ -334,7 +362,9 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
 
     /* pass 2+: iterated DP (second iteration re-prices from the first
        iteration's own parse — the btultra2 self-seeding idea) */
-    int n_iters = (n >= 4096) ? 3 : 1;
+    int n_iters = (n < 4096) ? 1
+                : (strategy >= 8) ? 4
+                : (strategy >= 6) ? 3 : 2;
     for (int iter = 0; iter < n_iters; iter++) {
     memcpy(C.head, head_copy, head_bytes);   /* reset to prefix state */
     memcpy(C.head3, head3_copy, head3_bytes);
@@ -348,7 +378,11 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
     for (int64_t i = 0; i < n; i++) {
         Cell* c = &cells[i];
         int64_t pos = block_start + i;
-        if (pos + 4 <= block_end) chains_insert(&C, base, pos);
+        int32_t prev3 = -1;
+        if (pos + 4 <= block_end) {
+            prev3 = C.head3[hash3(base + pos)];
+            chains_insert(&C, base, pos);
+        }
         if (c->price >= PINF) continue;
 
         /* literal step: lit price + incremental LL-code delta */
@@ -398,7 +432,7 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
 
         /* chain matches (len >= 3 via hash3, >= 4 via chains) */
         int nm = find_matches(&C, base, pos, window_low, block_end,
-                              attempts, m);
+                              attempts, prev3, m);
         uint32_t from_len = MINMATCH;
         for (int k = 0; k < nm; k++) {
             uint32_t L = m[k].len;
@@ -442,7 +476,9 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
                 i--;
             }
         }
-        prices_rebuild(&P);
+        prices_rebuild_ex(&P, iter + 2 < n_iters
+                          ? (int64_t)(3.5 * SCALE)
+                          : (int64_t)(8.0 * SCALE));
     }
     }  /* iter loop */
 

@@ -54,6 +54,15 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("--no-check", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--engine", choices=["auto", "tpu", "host"], default="auto")
+    p.add_argument("--trace", metavar="FILE",
+                   help="log one CSV row per (de)compression to FILE "
+                        "(zstdcli_trace.c schema)")
+    p.add_argument("-r", dest="recursive", action="store_true",
+                   help="operate recursively on directories")
+    p.add_argument("--filelist", metavar="FILE", action="append", default=[],
+                   help="read additional input paths from FILE")
+    p.add_argument("--no-mtime", dest="no_mtime", action="store_true",
+                   help="do not mirror source mtime onto the output file")
     p.add_argument("--memory", type=int, default=None,
                    help="decompression memory limit (windowLog cap)")
     for lvl in range(1, 23):
@@ -77,10 +86,15 @@ def _pick_engine(args) -> str:
 
 
 def _compress_adaptive(data: bytes, args) -> bytes:
-    """--adapt analog (zstdcli.c:984 / fileio.c FIO_compressZstdFrame's
-    speed-feedback loop): compress in chunks, raising the level while
-    throughput stays above target and lowering it when it drops. Output is
-    standard multi-frame zstd."""
+    """--adapt analog (zstdcli.c:984 / fileio.c:1490 FIO_compressZstdFrame's
+    ZSTD_getFrameProgression feedback loop): compress in chunks, adapting the
+    level against the observed throughput of the pipeline itself — each
+    chunk's target is the running mean chunk throughput, so the level climbs
+    when compression outpaces its own recent history and falls when a level
+    bump slows it below it (a self-referential pace signal standing in for
+    the reference's I/O-queue fill levels). All other parameter plumbing
+    (--long/window_log/--fast) applies per chunk. Output is standard
+    multi-frame zstd."""
     lo, hi = 1, 19
     for part in (args.adapt or "").split(","):
         if part.startswith("min="):
@@ -88,21 +102,30 @@ def _compress_adaptive(data: bytes, args) -> bytes:
         elif part.startswith("max="):
             hi = int(part[4:])
     import zstd_tpu
-    level = min(max(args.level or 3, lo), hi)
-    target_mbps = 20.0
+    level = args.level if args.level is not None else 3
+    if args.fast is not None:
+        level = -args.fast
+    level = min(max(level, lo), hi)
+    window_log = args.long if args.long else None
     out = bytearray()
     chunk = 4 * 1024 * 1024
+    ema_mbps = None
     for i in range(0, max(len(data), 1), chunk):
         piece = data[i : i + chunk]
         t0 = time.time()
         out += zstd_tpu.compress(piece, level=level,
-                                 checksum=not args.no_check)
+                                 checksum=not args.no_check,
+                                 window_log=window_log,
+                                 long_mode=args.long is not None)
         dt = max(time.time() - t0, 1e-6)
         mbps = len(piece) / dt / 1e6
-        if mbps < target_mbps / 2 and level > lo:
+        if ema_mbps is None:
+            ema_mbps = mbps
+        if mbps < ema_mbps * 0.6 and level > lo:
             level -= 1
-        elif mbps > target_mbps * 2 and level < hi:
+        elif mbps > ema_mbps * 1.1 and level < hi:
             level += 1
+        ema_mbps = 0.7 * ema_mbps + 0.3 * mbps
     return bytes(out)
 
 
@@ -270,11 +293,46 @@ def _do_train(files, args) -> int:
     return 0
 
 
+def _expand_inputs(args) -> list[str]:
+    """Input list: positional files + --filelist entries, with -r expanding
+    directories recursively (fileio.c UTIL directory traversal analog)."""
+    paths = list(args.files)
+    for fl in args.filelist:
+        with open(fl) as fh:
+            paths += [ln.strip() for ln in fh if ln.strip()]
+    out: list[str] = []
+    for p in paths:
+        if p != "-" and os.path.isdir(p):
+            if args.recursive:
+                for root, _dirs, names in os.walk(p):
+                    out += sorted(os.path.join(root, x) for x in names)
+            else:
+                _err(f"{p} is a directory -- ignored (use -r)")
+        else:
+            out.append(p)
+    return out or ["-"]
+
+
+def _mirror_stat(src: str, dst: str, args) -> None:
+    """Copy permissions and (unless --no-mtime) timestamps from src to dst
+    (fileio.c FIO_copyFilePermissions / UTIL_setFileStat analog)."""
+    try:
+        st = os.stat(src)
+        os.chmod(dst, st.st_mode & 0o7777)
+        if not args.no_mtime:
+            os.utime(dst, ns=(st.st_atime_ns, st.st_mtime_ns))
+    except OSError:
+        pass
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     prog = os.path.basename(sys.argv[0]) if sys.argv else "zstd"
     parser = build_parser(prog)
     args = parser.parse_args(argv)
+    if args.trace:
+        from .trace import GLOBAL_TRACER
+        GLOBAL_TRACER.open_csv(args.trace)
 
     # multi-personality (zstdcli.c:913-927)
     if prog in ("unzstd", "zstdcat"):
@@ -298,7 +356,7 @@ def main(argv: list[str] | None = None) -> int:
         return _do_train(args.files, args)
 
     mode = "decompress" if (args.decompress or args.test) else "compress"
-    files = args.files or ["-"]
+    files = _expand_inputs(args)
     rc = 0
     for f in files:
         try:
@@ -326,6 +384,8 @@ def main(argv: list[str] | None = None) -> int:
                     continue
                 with open(out, "wb") as fh:
                     fh.write(result)
+                if f != "-":
+                    _mirror_stat(f, out, args)
                 if args.verbose and mode == "compress":
                     print(f"{f} :{100*len(result)/max(len(data),1):6.2f}%   "
                           f"({len(data)} => {len(result)} bytes, {out})",

@@ -14,7 +14,8 @@ import dataclasses
 
 import numpy as np
 
-from ..constants import BLOCK_MAX_SIZE, MIN_MATCH, REPCODE_INIT
+from ..constants import (BLOCK_MAX_SIZE, BT_COMPRESSED, BT_RAW,
+                         BT_RLE, MIN_MATCH, REPCODE_INIT)
 from ..errors import Corruption
 from .literals import (HufDecodeState, HufEntropyState, compress_literals,
                        decode_literals)
@@ -102,30 +103,9 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
     if n < MIN_MATCH + 1 + 8:
         return raw
 
-    produced = None
-    if _SEQ_PRODUCER is not None:
-        produced = _SEQ_PRODUCER(full, block_start, block_end, window_low)
-    if produced is not None:
-        seqs, new_reps = _seqs_from_producer(
-            full, block_start, block_end, window_low, state.reps, produced)
-    elif ldm_ctx is not None:  # --long: long-distance matcher wraps the inner one
-        from .ldm import find_sequences_ldm
-        seqs, new_reps = find_sequences_ldm(
-            full, block_start, block_end, window_low, state.reps, cparams,
-            ldm_ctx)
-    elif cparams.strategy >= 6:  # Strategy.BTLAZY2 and up: native optimal parser
-        from .opt import find_sequences_opt
-        seqs, new_reps = find_sequences_opt(
-            full, block_start, block_end, window_low, state.reps, cparams)
-    elif cparams.strategy >= 2:  # Strategy.DFAST and up: lazy-class ladder
-        from .lazy import find_sequences_lazy
-        seqs, new_reps = find_sequences_lazy(
-            full, block_start, block_end, window_low, state.reps, cparams)
-    else:
-        seqs, new_reps = find_sequences(
-            full, block_start, block_end, window_low, state.reps,
-            hash_log=cparams.hash_log, mls=min(max(cparams.min_match, 4), 8))
-
+    seqs, new_reps = _find_block_sequences(full, block_start, block_end,
+                                           window_low, state, cparams,
+                                           ldm_ctx)
     strategy = cparams.strategy
     try:
         num_seq = seqs.nb_seq
@@ -148,6 +128,107 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
 
     nxt = BlockCState(next_huf, next_fse, new_reps)
     return payload, 2, nxt
+
+
+
+def _find_block_sequences(full, block_start, block_end, window_low, state,
+                          cparams, ldm_ctx=None):
+    """Sequence extraction for one block (ZSTD_buildSeqStore dispatch)."""
+    produced = None
+    if _SEQ_PRODUCER is not None:
+        produced = _SEQ_PRODUCER(full, block_start, block_end, window_low)
+    if produced is not None:
+        return _seqs_from_producer(
+            full, block_start, block_end, window_low, state.reps, produced)
+    if ldm_ctx is not None:  # --long: long-distance matcher wraps the inner one
+        from .ldm import find_sequences_ldm
+        return find_sequences_ldm(
+            full, block_start, block_end, window_low, state.reps, cparams,
+            ldm_ctx)
+    if cparams.strategy >= 2:
+        # dfast and up all route through the native DP parser with a
+        # strategy-scaled search depth (find_sequences_opt falls back to the
+        # Python lazy ladder when the native library is unavailable)
+        from .opt import find_sequences_opt
+        return find_sequences_opt(
+            full, block_start, block_end, window_low, state.reps, cparams)
+    return find_sequences(
+        full, block_start, block_end, window_low, state.reps,
+        hash_log=cparams.hash_log, mls=min(max(cparams.min_match, 4), 8))
+
+
+def compress_block_pieces(full, block_start, block_end, window_low, state,
+                          cparams, ldm_ctx=None):
+    """Compress one block region into one-or-more blocks via cost-driven
+    splitting of its seqstore (ZSTD_deriveBlockSplits analog; format/split.py).
+
+    Returns (pieces, next_state) where pieces is a list of
+    (payload, block_type, content_len). Extraction runs ONCE; the split is
+    abandoned (single block) when it does not pay or when any piece would
+    degrade to raw (a raw piece would drop its sequences and desynchronize
+    downstream repcode history).
+    """
+    from .split import segment_content_len, slice_seqstore, split_points
+
+    n = block_end - block_start
+    src = full[block_start:block_end]
+    raw_piece = [(src.tobytes(), BT_RAW, n)]
+    if n < MIN_MATCH + 1 + 8:
+        return raw_piece, state
+
+    seqs, new_reps = _find_block_sequences(full, block_start, block_end,
+                                           window_low, state, cparams,
+                                           ldm_ctx)
+    strategy = cparams.strategy
+
+    def encode(sub, st, clen, suspect):
+        lit_section, next_huf = compress_literals(
+            sub.literals, st.huf, strategy, disable=False,
+            suspect_uncompressible=suspect)
+        seq_section, next_fse = write_sequences_section(sub, st.fse, strategy)
+        return lit_section + seq_section, next_huf, next_fse
+
+    num_seq = seqs.nb_seq
+    num_lit = len(seqs.literals)
+    suspect = (num_seq == 0) or (num_lit // max(num_seq, 1) >= 20)
+    try:
+        whole_payload, whole_huf, whole_fse = encode(seqs, state, n, suspect)
+    except _EmitRawBlock:
+        return raw_piece, state
+    max_c_size = n - _min_gain(n, strategy)
+    if len(whole_payload) >= max_c_size:
+        if n > 1 and (src == src[0]).all():
+            return [(bytes(src[:1]), BT_RLE, n)], state
+        return raw_piece, state
+    whole = ([(whole_payload, BT_COMPRESSED, n)],
+             BlockCState(whole_huf, whole_fse, new_reps))
+
+    if n < 32768:
+        return whole
+    pts = split_points(seqs)
+    if not pts:
+        return whole
+    bounds = [0] + pts + [seqs.nb_seq]
+    pieces = []
+    st = state
+    total = 0
+    for k in range(len(bounds) - 1):
+        a, b = bounds[k], bounds[k + 1]
+        last = k == len(bounds) - 2
+        sub = slice_seqstore(seqs, a, b, last)
+        clen = segment_content_len(seqs, a, b, last, n, total)
+        try:
+            payload, next_huf, next_fse = encode(sub, st, clen, False)
+        except _EmitRawBlock:
+            return whole
+        if len(payload) >= clen:
+            return whole
+        pieces.append((payload, BT_COMPRESSED, clen))
+        st = BlockCState(next_huf, next_fse, st.reps)
+        total += clen
+    if sum(len(p) for p, _, _ in pieces) >= len(whole_payload):
+        return whole
+    return pieces, BlockCState(st.huf, st.fse, new_reps)
 
 
 def decompress_block(payload: bytes, out: bytearray, window_low: int,

@@ -24,8 +24,13 @@ def compress(data: bytes, level: int = 3, checksum: bool = False,
     if window_log is not None:
         import dataclasses
         cparams = dataclasses.replace(cparams, window_log=window_log)
-    return compress_frame(data, cparams, checksum=checksum,
-                          long_mode=long_mode)
+    from ..trace import GLOBAL_TRACER
+    with GLOBAL_TRACER.span("compress", level, cparams.window_log) as rec:
+        out = compress_frame(data, cparams, checksum=checksum,
+                             long_mode=long_mode)
+        rec.src_size = len(data)
+        rec.dst_size = len(out)
+    return out
 
 
 def compress_patch(data: bytes, patch: bytes, level: int = 3,
@@ -82,6 +87,11 @@ def decompress(data: bytes,
                 raise ZstdError(ZstdErrorCode.srcSize_wrong, "truncated skippable frame")
             pos += 8 + size
             continue
-        content, pos = decompress_frame(data, pos, window_log_max)
+        from ..trace import GLOBAL_TRACER
+        with GLOBAL_TRACER.span("decompress") as rec:
+            frame_start = pos
+            content, pos = decompress_frame(data, pos, window_log_max)
+            rec.src_size = pos - frame_start
+            rec.dst_size = len(content)
         out += content
     return bytes(out)

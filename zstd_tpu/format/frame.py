@@ -185,26 +185,37 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
         ldm_ctx = LdmState(full, window_log)
         if p0:
             ldm_ctx.insert_upto(p0)
-    split = cparams.strategy >= 6  # block splitting at btopt-class levels
+    # cost-driven seqstore splitting at the slow-strategy levels
+    # (ZSTD_deriveBlockSplits analog, format/split.py); the cheap
+    # histogram-divergence pre-split (_split_points, zstd_preSplit.c analog)
+    # applies at the faster levels
+    split_full = cparams.strategy >= 5
     pos = p0
     n += p0
     while pos < n:
         end = min(pos + block_size, n)
-        if split and end - pos >= 32768:
+        if not split_full and end - pos >= 32768:
             pts = _split_points(full, pos, end)
             if pts:
                 end = pts[0]
-        last = end == n
+        last_region = end == n
         window_low = max(0, pos - window_size)
-        payload, btype, state = compress_block(full, pos, end, window_low,
-                                               state, cparams,
-                                               ldm_ctx=ldm_ctx)
-        if btype == BT_RLE:
-            bh = int(last) | (BT_RLE << 1) | ((end - pos) << 3)
+        if split_full:
+            from .block import compress_block_pieces
+            pieces, state = compress_block_pieces(
+                full, pos, end, window_low, state, cparams, ldm_ctx=ldm_ctx)
         else:
-            bh = int(last) | (btype << 1) | (len(payload) << 3)
-        out += bh.to_bytes(3, "little")
-        out += payload
+            payload, btype, state = compress_block(
+                full, pos, end, window_low, state, cparams, ldm_ctx=ldm_ctx)
+            pieces = [(payload, btype, end - pos)]
+        for pi, (payload, btype, clen) in enumerate(pieces):
+            last = last_region and pi == len(pieces) - 1
+            if btype == BT_RLE:
+                bh = int(last) | (BT_RLE << 1) | (clen << 3)
+            else:
+                bh = int(last) | (btype << 1) | (len(payload) << 3)
+            out += bh.to_bytes(3, "little")
+            out += payload
         pos = end
     if checksum:
         out += content_checksum(data).to_bytes(4, "little")

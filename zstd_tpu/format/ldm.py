@@ -148,7 +148,10 @@ def find_sequences_ldm(full: np.ndarray, block_start: int, block_end: int,
                             np.zeros(0, np.int32), b""), r
         wl = max(window_low, gs - inner_window)
         if cparams.strategy >= 2:
-            return find_sequences_lazy(full, gs, ge, wl, r, cparams)
+            # same inner routing as plain blocks: native DP parser with
+            # lazy fallback (format/opt.py)
+            from .opt import find_sequences_opt
+            return find_sequences_opt(full, gs, ge, wl, r, cparams)
         return find_sequences(full, gs, ge, wl, r,
                               hash_log=cparams.hash_log,
                               mls=min(max(cparams.min_match, 4), 8))

@@ -56,6 +56,26 @@ def prev_same_bucket(h: np.ndarray) -> np.ndarray:
     return prev
 
 
+def _ob_for_dist(d: int, ll: int, r1: int, r2: int, r3: int) -> int:
+    """Offset code (offBase) for match distance d at litLength ll (spec
+    'Repeat offsets': the rep mapping shifts when litLength is 0)."""
+    if ll != 0:
+        if d == r1:
+            return 1
+        if d == r2:
+            return 2
+        if d == r3:
+            return 3
+        return d + 3
+    if d == r2:
+        return 1
+    if d == r3:
+        return 2
+    if d == r1 - 1 and d > 0:
+        return 3
+    return d + 3
+
+
 def _match_len(arr: np.ndarray, a: int, b: int, limit: int) -> int:
     """Length of the common prefix of arr[a:] and arr[b:], capped to limit."""
     n = 0
@@ -74,7 +94,7 @@ def _match_len(arr: np.ndarray, a: int, b: int, limit: int) -> int:
 def find_sequences(full: np.ndarray, block_start: int, block_end: int,
                    window_low: int, reps: tuple[int, int, int],
                    hash_log: int, mls: int,
-                   search_strength: int = 6) -> tuple[SeqStore, tuple[int, int, int]]:
+                   search_strength: int = 8) -> tuple[SeqStore, tuple[int, int, int]]:
     """Greedy sequence extraction for full[block_start:block_end].
 
     full: uint8 array of the frame prefix + current block.
@@ -110,12 +130,30 @@ def find_sequences(full: np.ndarray, block_start: int, block_end: int,
         best_ob = 0
         best_start = ip
 
-        # repcode-first probe (rep1 at ip, and shifted rep when ll==0)
-        rep_d = r1 if ll != 0 else r2
-        if rep_d > 0 and ip - rep_d >= window_low and eq4(ip, ip - rep_d):
-            mlen = 4 + _match_len(u32, ip + 4, ip - rep_d + 4, block_end - ip - 4)
-            best_len = mlen
-            best_ob = 1
+        # repcode-first probe: rep1 at ip, ip+1 and ip+2 (the reference
+        # checks the repcode up to two positions AHEAD of the scan point and
+        # prefers it over a table match — zstd_fast.c:277 checks ip2 first),
+        # shifted rep when the hit lands at litLength 0.
+        for d_ahead in (0, 1, 2):
+            p = ip + d_ahead
+            ll_p = p - anchor
+            rep_d = r1 if ll_p != 0 else r2
+            if (rep_d > 0 and p - rep_d >= window_low and p < ilimit
+                    and eq4(p, p - rep_d)):
+                mlen = 4 + _match_len(u32, p + 4, p - rep_d + 4,
+                                      block_end - p - 4)
+                # bounded backward extension (same distance; the offset CODE
+                # must be re-derived because litLength may change)
+                start = p
+                while (start > anchor and start - rep_d > window_low
+                       and u32[start - 1] == u32[start - rep_d - 1]):
+                    start -= 1
+                    mlen += 1
+                ob = _ob_for_dist(rep_d, start - anchor, r1, r2, r3)
+                best_len = mlen
+                best_ob = ob
+                best_start = start
+                break
         if best_len == 0:
             cand = prev[ip - window_low]
             if cand >= 0:
@@ -130,11 +168,7 @@ def find_sequences(full: np.ndarray, block_start: int, block_end: int,
                         cc -= 1
                         mlen += 1
                     d = start - cc
-                    ll2 = start - anchor
-                    if ll2 != 0:
-                        ob = 1 if d == r1 else 2 if d == r2 else 3 if d == r3 else d + 3
-                    else:
-                        ob = 1 if d == r2 else 2 if d == r3 else 3 if d == r1 - 1 and d > 0 else d + 3
+                    ob = _ob_for_dist(d, start - anchor, r1, r2, r3)
                     best_len = mlen
                     best_ob = ob
                     best_start = start

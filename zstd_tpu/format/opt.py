@@ -1,4 +1,4 @@
-"""Optimal-parse strategy (btopt/btultra/btultra2, levels 13-22).
+"""Optimal-parse strategy (native DP parser; serves levels 3-22).
 
 Thin wrapper over the native DP parser (native/opt.c, loaded via
 zstd_tpu.native). Falls back to the deep lazy searcher when the native
@@ -24,7 +24,8 @@ def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
                                    reps, cparams)
     res = nat.opt_parse(full, window_low, block_start, block_end, reps,
                         cparams.hash_log, cparams.search_log,
-                        cparams.min_match, cparams.target_length)
+                        cparams.min_match, cparams.target_length,
+                        cparams.strategy)
     if res is None:
         return find_sequences_lazy(full, block_start, block_end, window_low,
                                    reps, cparams)

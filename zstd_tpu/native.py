@@ -42,7 +42,8 @@ class _Native:
         lib.zt_opt_parse.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u32p, i32p, i32p, i32p, ctypes.c_int64,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
         lib.zt_dctx_new.restype = ctypes.c_void_p
         lib.zt_dctx_free.argtypes = [ctypes.c_void_p]
         lib.zt_decompress_block.restype = ctypes.c_int64
@@ -85,7 +86,8 @@ class _Native:
 
     def opt_parse(self, full, window_low: int, block_start: int,
                   block_end: int, reps: tuple, hash_log: int,
-                  search_log: int, min_match: int, target_len: int):
+                  search_log: int, min_match: int, target_len: int,
+                  strategy: int = 9):
         """Optimal-parse one block. Returns (ll, ob, mb, new_reps) int32
         arrays, or None if the native parser declined (fallback to lazy)."""
         import numpy as np
@@ -104,7 +106,7 @@ class _Native:
             reps_arr.ctypes.data_as(u32p),
             ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
             mb.ctypes.data_as(i32p), seq_cap,
-            hash_log, search_log, min_match, target_len)
+            hash_log, search_log, min_match, target_len, strategy)
         if nseq < 0:
             return None
         return (ll[:nseq], ob[:nseq], mb[:nseq],
