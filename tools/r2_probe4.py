@@ -54,9 +54,6 @@ for B in (8, 32):
     def gat_f(t, i):
         return jax.vmap(lambda a, j: a[j])(t, i)
     timeit(f"gather f32 B={B}", gat_f, tbl_f, idx, work=tot)
-    # 2. complex64 gather (8B payload per gathered element)
-    tbl_c = (tbl_f + 1j * tbl_f).astype(jnp.complex64)
-    timeit(f"gather c64 B={B}", gat_f, tbl_c, idx, work=tot)
     # 3. int32 gather for reference
     tbl_i = jnp.asarray(rng.integers(0, 1 << 20, (B, N), np.int32))
     timeit(f"gather i32 B={B}", gat_f, tbl_i, idx, work=tot)
