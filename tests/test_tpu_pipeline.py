@@ -42,4 +42,4 @@ def test_pipeline_ratio_close_to_oracle():
     tpu_blob = pipeline.compress(data, level=1)
     oracle_blob = zstd_tpu.compress(data, level=1)
     # block-local window + no rep-probing costs a little; stay within 15%
-    assert len(tpu_blob) < len(oracle_blob) * 1.15
+    assert len(tpu_blob) < len(oracle_blob) * 1.03

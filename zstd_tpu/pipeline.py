@@ -52,12 +52,13 @@ enable_compile_cache()
 
 
 @functools.cache
-def _use_pallas() -> bool:
-    """Serial-resolve Pallas kernel on real accelerators; the XLA
-    pointer-doubling path on CPU (pallas interpret mode is too slow)."""
-    if os.environ.get("ZSTD_TPU_NO_PALLAS"):
-        return False
-    return jax.default_backend() not in ("cpu",)
+def _engine_kind() -> str:
+    """Match-extraction engine: 'v3' (ops/fastmatch — measured-fast round-2
+    redesign, default everywhere), 'xla' (round-1 pointer-doubling path) or
+    'pallas' (round-1 serial-resolve kernel), selectable for comparison via
+    ZSTD_TPU_ENGINE."""
+    env = os.environ.get("ZSTD_TPU_ENGINE", "v3")
+    return env if env in ("v3", "xla", "pallas") else "v3"
 
 _STATS_LIT_HIST = 0          # [4, 256]
 _STATS_LL = 1024             # [36]
@@ -68,16 +69,20 @@ STATS_LEN = 1152
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("hash_log", "mls", "seq_cap", "use_pallas"))
+                   static_argnames=("hash_log", "mls", "seq_cap", "engine"))
 def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap,
-                 use_pallas=False):
+                 engine="v3"):
     """Device program A. Returns (stats i32[B, STATS_LEN], resident dict)."""
-    if use_pallas:
+    if engine == "pallas":
         from .ops.seqextract import extract_batch_pallas
         res = extract_batch_pallas(blocks, valid_lens, hash_log, mls, seq_cap)
         lits = res["lits"]
-    else:
+    elif engine == "xla":
         res = extract_batch(blocks, valid_lens, hash_log, mls, seq_cap)
+        lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
+    else:
+        from .ops.fastmatch import extract_batch_v3
+        res = extract_batch_v3(blocks, valid_lens, hash_log, mls, seq_cap)
         lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
 
     n = blocks.shape[1]
@@ -272,7 +277,7 @@ class TpuCompressor:
             stats, resident = _analyze_jit(
                 jnp.asarray(blocks), jnp.asarray(lens),
                 cparams.hash_log, min(max(cparams.min_match, 4), 8),
-                max(block_size // 4, 8), use_pallas=_use_pallas())
+                max(block_size // 4, 8), engine=_engine_kind())
             stageA[k] = (lens, stats, resident)
 
         for k in range(len(batches)):
