@@ -63,7 +63,7 @@ total = int(os.environ.get("BENCH_MB", "16")) * 1024 * 1024
 data = make_corpus(total)
 hb(f"corpus {total>>20} MiB")
 
-comp = pipeline.TpuCompressor(level=1, checksum=False, batch_blocks=8)
+comp = pipeline.TpuCompressor(level=1, checksum=False, batch_blocks=int(os.environ.get("BENCH_BATCH", "32")))
 blob = comp.compress(data[: 1024 * 1024])   # compile + warm
 hb(f"warmup done -> {len(blob)}")
 

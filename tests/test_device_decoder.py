@@ -1,0 +1,67 @@
+"""Device decode path: batched Huffman literal decode + pointer-doubling
+sequence execution (zstd_tpu.device_decoder), cross-checked against the
+host decoder, our encoders, and the reference binary's frames."""
+
+import numpy as np
+import pytest
+
+import zstd_tpu
+from zstd_tpu.device_decoder import device_decompress
+from tests.bigcorpus import big_corpus
+from tests.conftest import gen_mixed, gen_text, ref_compress
+
+
+@pytest.mark.parametrize("level", [1, 3, 19])
+def test_device_decodes_own_frames(level):
+    data = big_corpus(192 * 1024)
+    frame = zstd_tpu.compress(data, level=level, checksum=True)
+    assert device_decompress(frame) == data
+
+
+@pytest.mark.parametrize("args", [["-1"], ["-3"], ["-19"], ["--long=20"]])
+def test_device_decodes_reference_frames(ref, args):
+    data = big_corpus(192 * 1024)
+    frame = ref_compress(data, *args)
+    assert device_decompress(frame) == data
+
+
+def test_device_decodes_pipeline_frames():
+    from zstd_tpu import pipeline
+    data = gen_text(150_000, seed=3) + gen_mixed(50_000, seed=4)
+    frame = pipeline.compress(data, level=1, checksum=True)
+    assert device_decompress(frame) == data
+
+
+def test_device_decode_multiframe_and_skippable():
+    data1 = gen_text(30_000, seed=1)
+    data2 = gen_mixed(20_000, seed=2)
+    skip = (0x184D2A50).to_bytes(4, "little") + (4).to_bytes(4, "little") \
+        + b"abcd"
+    blob = zstd_tpu.compress(data1, level=2) + skip + \
+        zstd_tpu.compress(data2, level=5)
+    assert device_decompress(blob) == data1 + data2
+
+
+def test_device_decode_rle_and_raw_blocks():
+    # highly repetitive -> RLE blocks; incompressible -> raw blocks
+    rng = np.random.default_rng(0)
+    data = b"\x00" * 50_000 + rng.integers(0, 256, 50_000,
+                                           np.uint8).tobytes()
+    frame = zstd_tpu.compress(data, level=1, checksum=True)
+    assert device_decompress(frame) == data
+
+
+def test_device_decode_detects_checksum_corruption():
+    from zstd_tpu.errors import ZstdError, ZstdErrorCode
+    data = gen_text(50_000, seed=9)
+    frame = bytearray(zstd_tpu.compress(data, level=1, checksum=True))
+    frame[-1] ^= 0x10
+    with pytest.raises(ZstdError):
+        device_decompress(bytes(frame))
+
+
+def test_device_decode_synthesized_frames():
+    from tests.framegen import gen_frame
+    for seed in range(12):
+        frame, expected = gen_frame(seed + 400)
+        assert device_decompress(frame, window_log_max=31) == expected, seed

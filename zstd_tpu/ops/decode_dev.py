@@ -1,0 +1,176 @@
+"""Device decode kernels: batched Huffman literal decode + sequence
+execution.
+
+Role parity: the hot halves of the reference decoder —
+HUF_decompress4X/1X inner loops (/root/reference/lib/decompress/huf_decompress.c:329,
+the asm loop huf_decompress_amd64.S) and ZSTD_execSequence
+(/root/reference/lib/decompress/zstd_decompress_block.c:1001) — rebuilt as
+batched XLA programs:
+
+  - Huffman: the backward bitstream is expanded once into per-bit-position
+    11-bit window values (static shifted f32 adds, exact), then a lockstep
+    scan walks all streams of all blocks in parallel, one table-gather per
+    symbol per lane. 4-stream blocks give 4B lanes.
+  - execSequence: every output byte's source is computed positionally
+    (literal rank or match source index; overlapping matches use the
+    periodic-source rewrite so self-overlap never chains), then match
+    bytes resolve by wavefront gather rounds — depth is the match-to-match
+    dependency depth, not byte count.
+
+Host keeps frame/section parsing and the (tiny, byte-serial) FSE sequence
+decode, mirroring how the reference keeps orchestration in C around its
+vector inner loops.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_TLOG = 11
+EXEC_ROUNDS = 26
+
+
+def _bits_lsb(stream_bytes: jax.Array) -> jax.Array:
+    """uint8[m] -> f32[8m]: bit j of the stream (LSB-first within bytes)."""
+    bf = stream_bytes.astype(jnp.float32)
+    outs = []
+    for k in range(8):
+        outs.append(jnp.floor(bf / float(1 << k)) % 2.0)
+    return jnp.stack(outs, axis=1).reshape(-1)
+
+
+def huf_window_values(stream_bytes: jax.Array, tlog: int = MAX_TLOG
+                      ) -> jax.Array:
+    """f32[8m + tlog]: win[p] = value of bits [p-tlog, p) (zero-padded below),
+    i.e. the table index the backward reader would use at bit position p."""
+    bits = _bits_lsb(stream_bytes)
+    padded = jnp.concatenate([jnp.zeros(tlog, jnp.float32), bits])
+    n = padded.shape[0]
+    win = jnp.zeros(n - tlog + 1, jnp.float32)
+    for t in range(tlog):
+        win = win + padded[t : t + n - tlog + 1] * float(1 << t)
+    return win  # index p reads bits [p-tlog, p) of the unpadded stream
+
+
+def huf_decode_streams(wins: jax.Array, start_bits: jax.Array,
+                       n_syms: jax.Array, sym_lut: jax.Array,
+                       len_lut: jax.Array, max_syms: int) -> jax.Array:
+    """Decode many streams in lockstep.
+
+    wins:      f32[L, W]  per-lane window values (huf_window_values)
+    start_bits:i32[L]     initial bit position (useful bits in the stream)
+    n_syms:    i32[L]     symbols to decode per lane
+    sym_lut:   i32[L, 2048], len_lut: i32[L, 2048]  per-lane decode LUT
+    Returns uint8[L, max_syms] decoded symbols (garbage past n_syms).
+    """
+
+    def step(carry, i):
+        pos = carry
+        idx = jnp.take_along_axis(
+            wins, jnp.maximum(pos, 0)[:, None], axis=1)[:, 0].astype(jnp.int32)
+        sym = jnp.take_along_axis(sym_lut, idx[:, None], axis=1)[:, 0]
+        ln = jnp.take_along_axis(len_lut, idx[:, None], axis=1)[:, 0]
+        active = i < n_syms
+        pos = jnp.where(active, pos - ln, pos)
+        return pos, sym.astype(jnp.uint8)
+
+    _, syms = jax.lax.scan(step, start_bits,
+                           jnp.arange(max_syms, dtype=jnp.int32))
+    return syms.T  # [L, max_syms]
+
+
+def exec_sequences(lits: jax.Array, nb_lit, ll: jax.Array, ml: jax.Array,
+                   off: jax.Array, nb_seq, out_len, n: int,
+                   history: jax.Array, hist_len):
+    """Execute one block's sequences against device-resident literals.
+
+    lits:    uint8[n]  decoded literal bytes (prefix nb_lit valid)
+    ll/ml/off: i32[seq_cap]  litLength / matchLength / ABSOLUTE offset
+    history: uint8[h]  previous frame bytes this block may reference
+    Returns (out uint8[n], ok bool) — ok False when dependency depth
+    exceeded EXEC_ROUNDS (caller falls back to host).
+    """
+    seq_cap = ll.shape[0]
+    k = jnp.arange(seq_cap, dtype=jnp.int32)
+    vmask = k < nb_seq
+    llv = jnp.where(vmask, ll, 0)
+    mlv = jnp.where(vmask, ml, 0)
+    # per-sequence output start offsets
+    span = llv + mlv
+    seq_end = jax.lax.associative_scan(jnp.add, span)
+    seq_start = seq_end - span
+    match_start = seq_start + llv          # where the match part begins
+    pos = jnp.arange(n, dtype=jnp.int32)
+
+    # literal placement: a position is a literal iff not covered by a match
+    cov = jnp.zeros(n + 1, jnp.int32)
+    cov = cov.at[jnp.where(vmask & (mlv > 0), match_start, n)].add(
+        1, mode="drop")
+    cov = cov.at[jnp.where(vmask & (mlv > 0), match_start + mlv, n)].add(
+        -1, mode="drop")
+    in_match = jax.lax.associative_scan(jnp.add, cov[:n]) > 0
+    is_lit = (~in_match) & (pos < out_len)
+    lit_rank = jax.lax.associative_scan(jnp.add,
+                                        is_lit.astype(jnp.int32)) - 1
+    out = jnp.where(is_lit, lits[jnp.clip(lit_rank, 0, n - 1)].astype(
+        jnp.int32), 0)
+
+    # match source index per output byte: scatter each match's SEQUENCE
+    # INDEX at its start, then a running max gives the covering sequence
+    # (a plain start counter would miss zero-match pseudo-sequences)
+    marker = jnp.full(n + 1, -1, jnp.int32).at[
+        jnp.where(vmask & (mlv > 0), match_start, n)].max(k, mode="drop")
+    mid = jax.lax.associative_scan(jnp.maximum, marker[:n])
+    mid = jnp.clip(mid, 0, seq_cap - 1)
+    m_start = match_start[mid]
+    m_off = jnp.where(vmask[mid], off[mid], 1)
+    m_off = jnp.maximum(m_off, 1)
+    # periodic-source rewrite: j's source = start - off + ((j - start) mod off)
+    # which always lands strictly before the match start (self-overlap safe)
+    rel = (pos - m_start).astype(jnp.float32)
+    offf = m_off.astype(jnp.float32)
+    # f32 division may miss the true quotient by one ulp; products stay
+    # exact (< 2^24), so one correction pass restores the exact remainder
+    q = jnp.floor(rel / offf)
+    r = rel - q * offf
+    r = jnp.where(r < 0, r + offf, r)
+    r = jnp.where(r >= offf, r - offf, r)
+    src = m_start - m_off + r.astype(jnp.int32)
+    src = jnp.where(in_match, src, pos)
+
+    # sources below 0 read the history window (resolved immediately):
+    # `history` holds the last h bytes before this block, so block-relative
+    # source s (< 0) lives at history[h + s]
+    h = history.shape[0]
+
+    # pointer-doubling resolution: every position's ultimate source is a
+    # literal (or history) position; chains collapse in log2 rounds
+    # regardless of match nesting depth (the wavefront alternative is
+    # unbounded on real data)
+    ptr = jnp.where(in_match, src, pos)   # negatives = history terminals
+
+    def dbl_body(state):
+        ptr, r, _ = state
+        nxt = jnp.take(ptr, jnp.clip(ptr, 0, n - 1))
+        nxt = jnp.where(ptr < 0, ptr, nxt)
+        changed = jnp.any(nxt != ptr)
+        return nxt, r + 1, changed & (r < EXEC_ROUNDS)
+
+    ptr, _, _ = jax.lax.while_loop(
+        lambda s: s[2], dbl_body,
+        (ptr, jnp.int32(0), jnp.any(in_match)))
+    ok = jnp.all((ptr == jnp.where(
+        ptr < 0, ptr, jnp.take(ptr, jnp.clip(ptr, 0, n - 1))))
+        | (pos >= out_len))
+
+    base = out  # literal values already placed at terminal positions
+    resolved_vals = jnp.take(base, jnp.clip(ptr, 0, n - 1))
+    hist_vals = history[jnp.clip(h + jnp.minimum(ptr, -1), 0, h - 1)] \
+        .astype(jnp.int32)
+    out = jnp.where(ptr < 0, hist_vals,
+                    jnp.where(in_match, resolved_vals, out))
+    return out.astype(jnp.uint8), ok

@@ -33,7 +33,7 @@ import numpy as np
 import os as _os
 _ECON_FILTER = _os.environ.get("ZSTD_TPU_NOECON", "") == ""
 MIN_EMIT = 4
-CAP_MLEN = 70
+CAP_MLEN = 19
 RESOLVE_CHUNK = 512
 RESOLVE_STEPS = 160
 TABLE_CHUNK = 2048
@@ -114,27 +114,14 @@ def _capped_mlen(tri, b3, cand, valid_len, emit_from):
 
     tri_c = tri[c]
     b3_c = b3[c]
-    run0 = jnp.where(has & (tri_c == tri) & (b3_c == b3), 4, 0) \
+    run = jnp.where(has & (tri_c == tri) & (b3_c == b3), 4, 0) \
         .astype(jnp.int32)
-    still0 = run0 > 0
-    tri_p = jnp.concatenate([tri, jnp.zeros(CAP_MLEN + 4, jnp.float32)])
-
-    # early-exit extension: each round verifies one more 3-byte window at
-    # (c + k, i + k); cost is the rounds actually needed (most matches are
-    # short), with a hard cap for pathological runs (chain-merge and the
-    # sparse extension recover those)
-    def body(state):
-        run, still, k, _ = state
-        eq = (tri[jnp.minimum(c + k, n - 1)]
-              == jax.lax.dynamic_slice(tri_p, (k,), (n,)))
+    still = run > 0
+    for k in (4, 7, 10, 13, 16):
+        eq = tri[jnp.minimum(c + k, n - 1)] == \
+            jnp.concatenate([tri[k:], jnp.zeros(k, jnp.float32)])
         still = still & eq
         run = run + jnp.where(still, 3, 0)
-        k = k + 3
-        return run, still, k, jnp.any(still) & (k < CAP_MLEN - 3)
-
-    run, _, _, _ = jax.lax.while_loop(
-        lambda s: s[3], body,
-        (run0, still0, jnp.int32(4), jnp.any(still0)))
     mlen = run
     # economics: a short match at a far offset costs more bits than its
     # literals (the reference's level-1 7-byte hash implicitly enforces
@@ -181,20 +168,42 @@ def _resolve(mlen: jax.Array, nxt: jax.Array):
 
 
 def _compact(yp, yl, cand, seq_cap, n):
-    """Compact valid commits (already position-ordered, lane-major) into a
-    [seq_cap] prefix. Returns (pos, len, dist, nb)."""
+    """Pre-merge contiguous same-distance commits directly on the lane
+    array (last-valid scans give each commit its predecessor), then compact
+    group leaders into a [seq_cap] prefix. Merging before compaction keeps
+    the loop passes downstream at true sequence density.
+
+    Returns (pos, len, dist, nb)."""
     valid = yl > 0
     dist = jnp.where(valid, yp - cand[jnp.maximum(yp, 0)], 0)
-    rank = jax.lax.associative_scan(jnp.add, valid.astype(jnp.int32)) - 1
+    end = jnp.where(valid, yp + yl, 0)
+
+    # last-valid carry: for each slot, the most recent valid (end, dist)
+    # strictly before it
+    def lv_op(a, b):
+        av, ae, ad = a
+        bv, be, bd = b
+        return (av | bv, jnp.where(bv, be, ae), jnp.where(bv, bd, ad))
+
+    v_i = valid
+    inc = jax.lax.associative_scan(lv_op, (v_i, end, dist))
+    # shift right by one slot to get the strict predecessor
+    pv = jnp.concatenate([jnp.zeros(1, jnp.bool_), inc[0][:-1]])
+    pe = jnp.concatenate([jnp.zeros(1, jnp.int32), inc[1][:-1]])
+    pd = jnp.concatenate([jnp.zeros(1, jnp.int32), inc[2][:-1]])
+
+    mergeable = valid & pv & (yp == pe) & (dist == pd)
+    is_start = valid & ~mergeable
+    group = jax.lax.associative_scan(jnp.add, is_start.astype(jnp.int32)) - 1
     cap = seq_cap
-    idx = jnp.where(valid & (rank < cap), rank, cap)
-    len_c = jnp.zeros(cap + 1, jnp.int32).at[idx].add(yl, mode="drop")[:cap]
-    dist_c = jnp.zeros(cap + 1, jnp.int32).at[idx].add(dist,
-                                                       mode="drop")[:cap]
-    pos_c = jnp.full(cap + 1, n, jnp.int32).at[idx].min(yp,
+    gidx = jnp.where(valid & (group < cap) & (group >= 0), group, cap)
+    glen = jnp.zeros(cap + 1, jnp.int32).at[gidx].add(yl, mode="drop")[:cap]
+    gpos = jnp.full(cap + 1, n, jnp.int32).at[gidx].min(yp,
                                                         mode="drop")[:cap]
-    nb = jnp.minimum(jnp.sum(valid.astype(jnp.int32)), cap)
-    return pos_c, len_c, dist_c, nb
+    gdist = jnp.zeros(cap + 1, jnp.int32).at[gidx].max(dist,
+                                                       mode="drop")[:cap]
+    nb = jnp.minimum(jnp.sum(is_start.astype(jnp.int32)), cap)
+    return gpos, glen, gdist, nb
 
 
 def _rep_rewrite(tri, pos_c, len_c, dist_c, nb, n):
@@ -212,9 +221,11 @@ def _rep_rewrite(tri, pos_c, len_c, dist_c, nb, n):
 
     # verify 3-byte windows until past len (conservative: checks up to
     # 2 bytes beyond the match end); early exit when no lane needs more
+    REP_VERIFY_CAP = 30
+
     def cond(state):
         still, j = state
-        return jnp.any(candidate & still & (j < len_c)) & (j < CAP_MLEN)
+        return jnp.any(candidate & still & (j < len_c)) & (j < 18)
 
     def step(state):
         still, j = state
@@ -225,7 +236,8 @@ def _rep_rewrite(tri, pos_c, len_c, dist_c, nb, n):
         return still, j + 3
 
     still, _ = jax.lax.while_loop(cond, step, (candidate, jnp.int32(0)))
-    ok = candidate & still
+    # a sequence longer than the verification cap is never rewritten
+    ok = candidate & still & (len_c <= 18)
     return jnp.where(ok, d_prev, dist_c)
 
 
@@ -281,23 +293,56 @@ def extract_block_v3(block: jax.Array, valid_len, hash_log: int, mls: int,
     room = jnp.where(vmask, room, 0)
     bf = block.astype(jnp.int32)
 
-    def ext_body(state):
-        ln, active, _ = state
+    tri_i = tri  # f32 3-byte windows for fast extension
+
+    def ext3_body(state):
+        ln, active, r, _ = state
         ia = jnp.minimum(seq_pos + ln, n - 1)
-        ib = jnp.minimum(jnp.maximum(seq_pos - seq_off + ln, 0), n - 1)
+        ib = jnp.maximum(jnp.minimum(seq_pos - seq_off + ln, n - 1), 0)
+        eq = (tri_i[ia] == tri_i[ib]) & active \
+            & (ln + 3 <= seq_len + room)
+        ln = ln + jnp.where(eq, 3, 0)
+        return ln, eq, r + 1, jnp.any(eq) & (r < 6)
+
+    seq_len3, _, _, _ = jax.lax.while_loop(
+        lambda s: s[3], ext3_body,
+        (seq_len, vmask & (room > 0), jnp.int32(0),
+         jnp.any(vmask & (room > 0))))
+
+    def ext1_body(state):
+        ln, active, r, _ = state
+        ia = jnp.minimum(seq_pos + ln, n - 1)
+        ib = jnp.maximum(jnp.minimum(seq_pos - seq_off + ln, n - 1), 0)
         eq = (bf[ia] == bf[ib]) & active & (ln < seq_len + room)
         ln = ln + eq.astype(jnp.int32)
-        return ln, eq, jnp.any(eq)
+        return ln, eq, r + 1, jnp.any(eq) & (r < 1)
 
-    seq_len2, _, _ = jax.lax.while_loop(
-        lambda s: s[2], ext_body,
-        (seq_len, vmask & (room > 0), jnp.any(vmask & (room > 0))))
+    seq_len2, _, _, _ = jax.lax.while_loop(
+        lambda s: s[3], ext1_body,
+        (seq_len3, vmask & (room > 0), jnp.int32(0),
+         jnp.any(vmask & (room > 0))))
     seq_len = jnp.where(vmask, seq_len2, 0)
 
     # sparse backward extension: grow starts downward while bytes match and
-    # the previous sequence's end is not crossed (offsets unchanged)
-    def back_body(state):
-        sp, sl, active, _ = state
+    # the previous sequence's end is not crossed (offsets unchanged);
+    # 3-byte strides first, then a bounded byte-wise tail
+    def back3_body(state):
+        sp, sl, active, r, _ = state
+        prev_end = jnp.where(k == 0, emit_from, jnp.roll(sp + sl, 1))
+        ia = jnp.maximum(sp - 3, 0)
+        ib = jnp.maximum(sp - seq_off - 3, 0)
+        ok = active & (sp - 3 >= prev_end) & (sp - seq_off - 3 >= 0) \
+            & (tri[ia] == tri[ib])
+        sp = sp - jnp.where(ok, 3, 0)
+        sl = sl + jnp.where(ok, 3, 0)
+        return sp, sl, ok, r + 1, jnp.any(ok) & (r < 4)
+
+    seq_pos, seq_len, _, _, _ = jax.lax.while_loop(
+        lambda s: s[4], back3_body,
+        (seq_pos, seq_len, vmask, jnp.int32(0), jnp.any(vmask)))
+
+    def back1_body(state):
+        sp, sl, active, r, _ = state
         prev_end = jnp.where(k == 0, emit_from, jnp.roll(sp + sl, 1))
         ia = jnp.maximum(sp - 1, 0)
         ib = jnp.maximum(sp - seq_off - 1, 0)
@@ -305,11 +350,14 @@ def extract_block_v3(block: jax.Array, valid_len, hash_log: int, mls: int,
             & (bf[ia] == bf[ib])
         sp = sp - ok.astype(jnp.int32)
         sl = sl + ok.astype(jnp.int32)
-        return sp, sl, ok, jnp.any(ok)
+        return sp, sl, ok, r + 1, jnp.any(ok) & (r < 1)
 
-    seq_pos, seq_len, _, _ = jax.lax.while_loop(
-        lambda s: s[3], back_body, (seq_pos, seq_len, vmask, jnp.any(vmask)))
+    seq_pos, seq_len, _, _, _ = jax.lax.while_loop(
+        lambda s: s[4], back1_body,
+        (seq_pos, seq_len, vmask, jnp.int32(0), jnp.any(vmask)))
     seq_len = jnp.where(vmask, seq_len, 0)
+
+    # literal-length    seq_len = jnp.where(vmask, seq_len, 0)
 
     # literal-length derivation + coverage
     prev_match_end = jnp.where(

@@ -277,7 +277,7 @@ class TpuCompressor:
             stats, resident = _analyze_jit(
                 jnp.asarray(blocks), jnp.asarray(lens),
                 cparams.hash_log, min(max(cparams.min_match, 4), 8),
-                max(block_size // 4, 8), engine=_engine_kind())
+                max(block_size // 8, 8), engine=_engine_kind())
             stageA[k] = (lens, stats, resident)
 
         for k in range(len(batches)):
