@@ -81,6 +81,16 @@ for r in range(reps):
 mbps = total / t_best / 1e6
 ratio = total / len(blob)
 
+# decode throughput (host native path; reference baseline 1580 MB/s)
+t_dec = float("inf")
+for r in range(reps):
+    t0 = time.time()
+    out = decompress(blob)
+    t_dec = min(t_dec, time.time() - t0)
+assert out == data, "decode round-trip failed"
+dec_mbps = total / t_dec / 1e6
+hb(f"decode: {dec_mbps:.1f} MB/s")
+
 baseline_mbps = 510.0
 print(json.dumps({
     "metric": "encode_throughput_level1",
@@ -88,6 +98,8 @@ print(json.dumps({
     "unit": "MB/s",
     "vs_baseline": round(mbps / baseline_mbps, 4),
     "ratio": round(ratio, 3),
+    "decode_mbps": round(dec_mbps, 1),
+    "decode_vs_baseline": round(dec_mbps / 1580.0, 4),
 }))
 '''
 

@@ -155,9 +155,10 @@ def _extract_kernel(vl_ref, bytes_ref, cand_ref, nxt_ref,
     nblit_ref[...] = jnp.full_like(nblit_ref, r + tail)
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
+@functools.partial(jax.jit, static_argnames=("cap", "interpret"))
 def extract_compact(blocks_padded: jax.Array, cands_padded: jax.Array,
-                    nxt_padded: jax.Array, valid_lens: jax.Array, cap: int):
+                    nxt_padded: jax.Array, valid_lens: jax.Array, cap: int,
+                    interpret: bool = False):
     """blocks_padded: int32[B, N+PAD] (widened bytes, zero tail);
     cands_padded: int32[B, N+PAD] (candidate index or -1, padded);
     nxt_padded: int32[B, N+PAD] (next 4-byte-match position jump table);
@@ -185,6 +186,7 @@ def extract_compact(blocks_padded: jax.Array, cands_padded: jax.Array,
     ll, off, ml, lits, nb, nblit = pl.pallas_call(
         _extract_kernel,
         grid_spec=grid_spec,
+        interpret=interpret,
         out_shape=[
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, cap), jnp.int32),

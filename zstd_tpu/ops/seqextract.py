@@ -121,7 +121,8 @@ def extract_batch(blocks: jax.Array, valid_lens: jax.Array, hash_log: int,
 
 
 def extract_batch_pallas(blocks: jax.Array, valid_lens: jax.Array,
-                         hash_log: int, mls: int, seq_cap: int):
+                         hash_log: int, mls: int, seq_cap: int,
+                         interpret: bool = False):
     """TPU path: XLA propose + Pallas serial full-seqstore kernel.
 
     Returns the extract_batch contract plus "lits" (uint8[B, n]) — the
@@ -156,7 +157,8 @@ def extract_batch_pallas(blocks: jax.Array, valid_lens: jax.Array,
     cp = jnp.pad(cands, ((0, 0), (0, PAD)), constant_values=-1)
     xp = jnp.pad(nxt, ((0, 0), (0, PAD)), constant_values=n + PAD)
     ll, off, ml, lits, nb, nb_lit = extract_compact(bp, cp, xp, valid_lens,
-                                                    seq_cap)
+                                                    seq_cap,
+                                                    interpret=interpret)
     return {
         "nb_seq": nb,
         "ll": ll,
