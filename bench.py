@@ -63,7 +63,7 @@ total = int(os.environ.get("BENCH_MB", "16")) * 1024 * 1024
 data = make_corpus(total)
 hb(f"corpus {total>>20} MiB")
 
-comp = pipeline.TpuCompressor(level=1, checksum=False, batch_blocks=int(os.environ.get("BENCH_BATCH", "32")))
+comp = pipeline.TpuCompressor(level=1, checksum=False, batch_blocks=int(os.environ.get("BENCH_BATCH", "8")))
 blob = comp.compress(data[: 1024 * 1024])   # compile + warm
 hb(f"warmup done -> {len(blob)}")
 
@@ -108,7 +108,7 @@ def main():
     env = dict(os.environ)
     env["ZSTD_TPU_REPO"] = REPO
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
-    silence_limit = float(os.environ.get("BENCH_HB_TIMEOUT", "420"))
+    silence_limit = float(os.environ.get("BENCH_HB_TIMEOUT", "1500"))
     for attempt in range(attempts):
         print(f"[bench] attempt {attempt}", file=sys.stderr, flush=True)
         p = subprocess.Popen([sys.executable, "-u", "-c", _INNER],

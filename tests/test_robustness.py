@@ -128,17 +128,21 @@ def test_seekable_reference_decodes_whole_stream(ref):
 
 
 def test_trace_hooks():
+    """The library fires begin/end trace events per (de)compression on its
+    own (ZSTD_trace weak-symbol analog) — no explicit span needed."""
     from zstd_tpu.trace import GLOBAL_TRACER
     events = []
     GLOBAL_TRACER.register(events.append)
     try:
-        with GLOBAL_TRACER.span("compress", level=1) as rec:
-            data = gen_text(10000)
-            blob = zstd_tpu.compress(data, level=1)
-            rec.src_size = len(data)
-            rec.dst_size = len(blob)
+        data = gen_text(10000)
+        blob = zstd_tpu.compress(data, level=1)
+        out = zstd_tpu.decompress(blob)
     finally:
         GLOBAL_TRACER.unregister(events.append)
-    assert len(events) == 1
-    assert events[0].duration_ns > 0
-    assert events[0].src_size == 10000
+    assert out == data
+    methods = [e.method for e in events]
+    assert "compress" in methods and "decompress" in methods
+    comp = events[methods.index("compress")]
+    assert comp.duration_ns > 0
+    assert comp.src_size == 10000
+    assert comp.dst_size == len(blob)

@@ -53,12 +53,18 @@ enable_compile_cache()
 
 @functools.cache
 def _engine_kind() -> str:
-    """Match-extraction engine: 'v3' (ops/fastmatch — measured-fast round-2
-    redesign, default everywhere), 'xla' (round-1 pointer-doubling path) or
-    'pallas' (round-1 serial-resolve kernel), selectable for comparison via
-    ZSTD_TPU_ENGINE."""
-    env = os.environ.get("ZSTD_TPU_ENGINE", "v3")
-    return env if env in ("v3", "xla", "pallas") else "v3"
+    """Match-extraction engine, selectable via ZSTD_TPU_ENGINE:
+    'v3' (ops/fastmatch — round-2 XLA redesign), 'pallas' (serial-resolve
+    kernel), 'xla' (round-1 pointer-doubling path).
+
+    Default is measured-per-backend: on the real chip the VMEM-resident
+    serial Pallas kernel currently edges out v3 end-to-end (4.3 vs
+    3.6 MB/s through the tunnel, BENCH logs round 2), while on CPU the
+    kernel only runs interpreted, so v3 is used there."""
+    env = os.environ.get("ZSTD_TPU_ENGINE", "")
+    if env in ("v3", "xla", "pallas"):
+        return env
+    return "pallas" if jax.default_backend() not in ("cpu",) else "v3"
 
 _STATS_LIT_HIST = 0          # [4, 256]
 _STATS_LL = 1024             # [36]
@@ -181,7 +187,7 @@ def _pad_ct(ct) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
 
 
 def _seq_cap_bucket(max_seq: int) -> int:
-    for c in (1024, 4096, 16384, 32768):
+    for c in (1024, 2048, 4096, 8192, 16384, 32768):
         if max_seq <= c:
             return c
     return 32768
@@ -367,8 +373,8 @@ class TpuCompressor:
 
         cap = _seq_cap_bucket(max_seq)
         # typical-density buffer sizing (overflow -> host raw fallback):
-        # ~32 bits/sequence, ~10 bits/literal
-        out_w_fse = cap + 8
+        # ~24 bits/sequence, ~10 bits/literal
+        out_w_fse = (cap * 24) // 32 + 16
         seg_cap = (block_size + 3) // 4
         out_w_huf = (seg_cap * 10) // 32 + 4
         r = resident
