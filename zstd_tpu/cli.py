@@ -249,19 +249,35 @@ def _do_list(files, args) -> int:
 
 
 def _do_bench(files, args) -> int:
+    """zstd -b# analog (benchzstd.c BMK_benchFilesAdvanced): iterated
+    best-of timing over a minimum window, compress and decompress."""
     level = args.bench if args.bench is not None else 3
+    min_secs = 1.0 if args.verbose else 0.4
     for f in files:
         data = open(f, "rb").read()
-        t0 = time.time()
-        blob = _compress_bytes(data, args)
-        ct = time.time() - t0
-        t0 = time.time()
-        out = _decompress_bytes(blob, args)
-        dt = time.time() - t0
+        blob = _compress_bytes(data, args)          # warm / result
+        ct = float("inf")
+        elapsed = 0.0
+        while elapsed < min_secs:
+            t0 = time.time()
+            blob = _compress_bytes(data, args)
+            dt = time.time() - t0
+            ct = min(ct, dt)
+            elapsed += dt
+        dtm = float("inf")
+        elapsed = 0.0
+        out = None
+        while elapsed < min_secs:
+            t0 = time.time()
+            out = _decompress_bytes(blob, args)
+            dt = time.time() - t0
+            dtm = min(dtm, dt)
+            elapsed += dt
         assert out == data, "round-trip mismatch"
-        print(f"{os.path.basename(f):>20} :{len(data):>9} -> {len(blob):>9} "
-              f"({len(data)/len(blob):6.3f}), {len(data)/ct/1e6:6.1f} MB/s, "
-              f"{len(data)/dt/1e6:6.1f} MB/s")
+        print(f"{level:>2}#{os.path.basename(f):>18} :{len(data):>9} -> "
+              f"{len(blob):>9} ({len(data)/len(blob):6.3f}), "
+              f"{len(data)/ct/1e6:6.1f} MB/s, "
+              f"{len(data)/dtm/1e6:6.1f} MB/s")
     return 0
 
 

@@ -185,6 +185,12 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
         ldm_ctx = LdmState(full, window_log)
         if p0:
             ldm_ctx.insert_upto(p0)
+    from ..trace import GLOBAL_PROGRESSION as _prog
+    _prog.ingested = n - p0
+    _prog.consumed = 0
+    _prog.produced = len(out)
+    _prog.flushed = 0
+
     # cost-driven seqstore splitting at the slow-strategy levels
     # (ZSTD_deriveBlockSplits analog, format/split.py); the cheap
     # histogram-divergence pre-split (_split_points, zstd_preSplit.c analog)
@@ -217,6 +223,9 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
             out += bh.to_bytes(3, "little")
             out += payload
         pos = end
+        _prog.consumed = pos - p0
+        _prog.produced = len(out)
+        _prog.flushed = len(out)
     if checksum:
         out += content_checksum(data).to_bytes(4, "little")
     return bytes(out)

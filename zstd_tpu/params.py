@@ -166,3 +166,36 @@ def get_cparams(level: int, src_size: int = CONTENTSIZE_UNKNOWN,
         clamped = max(ZSTD_MIN_CLEVEL, level)
         cp = dataclasses.replace(cp, target_length=-clamped)
     return adjust_cparams(cp, src_size, dict_size)
+
+
+BLOCK_MAX_SIZE_P = 128 * 1024
+MIN_MATCH_P = 3
+
+
+def estimate_cctx_size(level: int,
+                       src_size: int = CONTENTSIZE_UNKNOWN) -> int:
+    """Workspace estimate for one compression context, in bytes.
+
+    Parity role: ZSTD_estimateCCtxSize (/root/reference/lib/compress/
+    zstd_compress.c ZSTD_estimateCCtxSize_internal / zstd_cwksp.h sizing).
+    We have no arena allocator — XLA owns device buffers — but the SIZING
+    semantics survive: match-state tables scale with hash/chain logs, plus
+    the block buffer, seqstore bound and entropy workspaces, so capacity
+    planning code written against the reference keeps working.
+    """
+    cp = get_cparams(level, src_size)
+    block_size = min(1 << cp.window_log, BLOCK_MAX_SIZE_P)
+    hash_size = 4 << cp.hash_log
+    chain_size = 4 << cp.chain_log if cp.strategy >= Strategy.DFAST else 0
+    h3_size = (4 << 16) if cp.strategy >= Strategy.BTOPT else 0
+    # seqstore: (pos, len, off) int32 triples + literal buffer
+    seq_bound = block_size // MIN_MATCH_P + 1
+    seqstore = seq_bound * 3 * 4 + block_size
+    entropy_ws = 8 * 1024          # tables + scratch (HUF/FSE builds)
+    buffers = 2 * block_size       # input window slice + output bound
+    return hash_size + chain_size + h3_size + seqstore + entropy_ws + buffers
+
+
+def estimate_dctx_size() -> int:
+    """ZSTD_estimateDCtxSize analog: entropy tables + block buffer."""
+    return (4 << 11) * 3 + (4 << 12) + 2 * BLOCK_MAX_SIZE_P

@@ -98,6 +98,17 @@ class FrameProgression:
     nb_active_workers: int = 0
 
 
+GLOBAL_PROGRESSION = FrameProgression()
+
+
+def get_frame_progression() -> FrameProgression:
+    """ZSTD_getFrameProgression analog: live counters of the most recent /
+    in-flight frame compression (ingested/consumed/produced/flushed),
+    consumed by --adapt-style feedback loops
+    (/root/reference/lib/compress/zstd_compress.c:1862)."""
+    return GLOBAL_PROGRESSION
+
+
 @contextmanager
 def stage(name: str):
     """Device-profile stage scope (jax.named_scope when jax is present)."""
