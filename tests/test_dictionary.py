@@ -116,3 +116,41 @@ def test_reference_dictionary_loads(ref, tmp_path):
     r = subprocess.run([REF_ZSTD, "-c", "-5", "-D", str(dict_file)],
                        input=s, capture_output=True, check=True)
     assert decompress_with_dict(r.stdout, d) == s
+
+
+def test_trained_dict_quality_vs_reference_trainer(ref, tmp_path):
+    """Our trainers' dictionaries must compress the sample class about as
+    well as a reference-trained dictionary (quality gate for the COVER/
+    fastCover implementations, not just format interop)."""
+    import subprocess
+    rng = np.random.default_rng(17)
+    tmpl = [gen_text(700, seed=s) for s in range(6)]
+    samples = []
+    for i in range(120):
+        t = tmpl[int(rng.integers(len(tmpl)))]
+        cut = int(rng.integers(100, len(t)))
+        samples.append(t[:cut] + gen_text(60, seed=1000 + i))
+    # reference-trained dictionary
+    sdir = tmp_path / "samples"
+    sdir.mkdir()
+    for i, s in enumerate(samples):
+        (sdir / f"s{i}").write_bytes(s)
+    refdict = tmp_path / "ref.dict"
+    subprocess.run([REF_ZSTD, "--train", *map(str, sdir.iterdir()),
+                    "-o", str(refdict), "--maxdict=4096"],
+                   check=True, capture_output=True)
+    # our trainer with the k/d sweep (the reference's default --train is
+    # also an optimizing sweep, ZDICT_optimizeTrainFromBuffer_fastCover)
+    from zstd_tpu.dict_builder.cover import optimize_train
+    from zstd_tpu.dict_builder.zdict import finalize_dictionary
+    raw, _params = optimize_train(samples, max_dict_size=4096, cover=False)
+    ours = finalize_dictionary(raw, samples, dict_id=0, level=3)
+
+    def total_with(dict_bytes):
+        from zstd_tpu.dictionary import compress_with_dict, load_dictionary
+        d = load_dictionary(dict_bytes)
+        return sum(len(compress_with_dict(s, d, level=3)) for s in samples)
+
+    ours_total = total_with(ours)
+    ref_total = total_with(refdict.read_bytes())
+    assert ours_total <= ref_total * 1.10, (ours_total, ref_total)

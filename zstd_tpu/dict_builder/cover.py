@@ -65,29 +65,34 @@ def train_from_samples_cover(samples: list[bytes],
     # per-sample views
     offs = np.cumsum([0] + [len(a) - d + 1 for a in arrs])
 
-    epochs = max(1, min(max_dict_size // max(k, 1), 64))
+    epochs = max(1, min(max_dict_size // max(min(k, 256), 1), 64))
     chosen: list[bytes] = []
     used = 0
-    w = k - d + 1
     for _ in range(epochs):
         best = None
         for si, a in enumerate(arrs):
             m = len(a) - d + 1
-            if m < w:
+            if m < 1:
                 continue
+            # samples shorter than k contribute their full span (the
+            # reference's k-sweep covers short-sample corpora; a fixed k
+            # must not skip them entirely)
+            w = min(k - d + 1, m)
             f = np.where(alive[gids[offs[si] : offs[si] + m]],
                          freqs[offs[si] : offs[si] + m], 0)
             cs = np.concatenate([[0], np.cumsum(f)])
             scores = cs[w:] - cs[:-w]
+            if len(scores) == 0:
+                continue
             stride = max(k // 8, 1)
             idx = np.arange(0, len(scores), stride)
             loc = int(idx[np.argmax(scores[idx])])
             sc = int(scores[loc])
             if best is None or sc > best[0]:
-                best = (sc, si, loc)
+                best = (sc, si, loc, w)
         if best is None or best[0] <= 0:
             break
-        sc, si, start = best
+        sc, si, start, w = best
         seg = arrs[si][start : start + k]
         chosen.append(seg.tobytes())
         used += len(seg)

@@ -57,15 +57,17 @@ def train_from_samples(samples: list[bytes], max_dict_size: int = 112640,
     for _ in range(epochs):
         best = None  # (score, sample_idx, start)
         for si, h in enumerate(hashes):
-            if len(h) < k - d + 1:
+            if len(h) < 1:
                 continue
             fh = freqs[h]
-            # sliding-window sum of d-mer scores over k-d+1 dmers
-            w = k - d + 1
+            # sliding-window sum of d-mer scores; samples shorter than k
+            # contribute their full span as one window (the reference's
+            # k-sweep covers this; a fixed k must not skip short samples)
+            w = min(k - d + 1, len(h))
             cs = np.concatenate([[0], np.cumsum(fh)])
-            if len(cs) <= w:
-                continue
             scores = cs[w:] - cs[:-w]
+            if len(scores) == 0:
+                continue
             # stride candidates to bound work (fastcover uses every position;
             # k/4 stride keeps quality while cutting cost)
             stride = max(k // 4, 1)
