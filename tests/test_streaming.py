@@ -145,3 +145,23 @@ def test_compress_stream_constant_memory_checksum():
     assert not hasattr(cs, "_xxh_parts")
     from zstd_tpu.xxhash64 import Xxh64
     assert isinstance(cs._xxh, Xxh64)
+
+
+def test_async_fileio_roundtrip(tmp_path):
+    """Read-ahead/write-behind threaded file pipeline + sparse decompress
+    (fileio_asyncio.c / fileio.c sparse-write analog)."""
+    from zstd_tpu.fileio_async import (compress_file_async,
+                                       decompress_file_async)
+    data = gen_text(300_000, seed=13) + b"\x00" * 200_000 + \
+        gen_mixed(100_000, seed=14)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    zst = tmp_path / "in.bin.zst"
+    out = tmp_path / "out.bin"
+    compress_file_async(str(src), str(zst), level=1)
+    assert ref_decompress(zst.read_bytes()) == data
+    decompress_file_async(str(zst), str(out), sparse=True)
+    assert out.read_bytes() == data
+    # the zero run must actually be a hole when the fs supports it
+    st = out.stat()
+    assert st.st_size == len(data)

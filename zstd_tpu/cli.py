@@ -376,6 +376,36 @@ def main(argv: list[str] | None = None) -> int:
     rc = 0
     for f in files:
         try:
+            plain = (args.dictionary is None and args.patch_from is None
+                     and args.adapt is None and args.threads <= 1
+                     and not args.long and not args.test
+                     and not args.stdout and args.fast is None
+                     and f != "-")
+            if plain and os.path.isfile(f) and \
+                    os.path.getsize(f) >= (8 << 20):
+                # large plain files stream through the async read-ahead /
+                # write-behind pipeline (fileio_asyncio.c analog)
+                from .fileio_async import (compress_file_async,
+                                           decompress_file_async)
+                out = args.output or (_out_name_compress(f)
+                                      if mode == "compress"
+                                      else _out_name_decompress(f))
+                if os.path.exists(out) and not args.force:
+                    _err(f"{out} already exists; use -f to overwrite")
+                    rc = 1
+                    continue
+                if mode == "compress":
+                    compress_file_async(f, out,
+                                        level=args.level
+                                        if args.level is not None else 3,
+                                        checksum=not args.no_check)
+                else:
+                    wlog = args.memory if args.memory else 27
+                    decompress_file_async(f, out, window_log_max=wlog)
+                _mirror_stat(f, out, args)
+                if args.rm:
+                    os.unlink(f)
+                continue
             if f == "-":
                 data = sys.stdin.buffer.read()
             else:
