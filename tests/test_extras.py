@@ -109,3 +109,27 @@ def test_sharded_halo_mesh():
     out = compress_step(mesh, blocks, lens, hash_log=10, mls=5)
     assert out["shard_seq_totals"].shape == (4,)
     assert int(np.sum(np.asarray(out["nb_seq"]))) > 0
+
+
+def test_target_cblock_size_superblock(ref):
+    """ZSTD_c_targetCBlockSize analog: blocks near the requested compressed
+    size (low-latency streaming), still reference-decodable."""
+    from zstd_tpu.format.frame import parse_frame_header
+    data = gen_text(200_000, seed=3)
+    blob = zstd_tpu.compress(data, level=3, target_cblock_size=2048)
+    assert zstd_tpu.decompress(blob) == data
+    assert ref_decompress(blob) == data
+    hdr = parse_frame_header(blob, 31)
+    pos = hdr.header_size
+    sizes = []
+    while True:
+        bh = int.from_bytes(blob[pos : pos + 3], "little")
+        pos += 3
+        btype = (bh >> 1) & 3
+        s = 1 if btype == 1 else bh >> 3
+        pos += s
+        sizes.append(s)
+        if bh & 1:
+            break
+    assert len(sizes) >= 8
+    assert max(sizes) <= 4 * 2048  # near the target, never wildly over

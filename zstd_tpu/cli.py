@@ -63,6 +63,9 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
                    help="read additional input paths from FILE")
     p.add_argument("--no-mtime", dest="no_mtime", action="store_true",
                    help="do not mirror source mtime onto the output file")
+    p.add_argument("--target-compressed-block-size", dest="target_cblock",
+                   type=int, default=None, metavar="#",
+                   help="aim compressed blocks at this size (superblock)")
     p.add_argument("--memory", type=int, default=None,
                    help="decompression memory limit (windowLog cap)")
     for lvl in range(1, 23):
@@ -161,7 +164,8 @@ def _compress_bytes(data: bytes, args) -> bytes:
     window_log = args.long if args.long else None
     return zstd_tpu.compress(data, level=level, checksum=checksum,
                              window_log=window_log,
-                             long_mode=args.long is not None)
+                             long_mode=args.long is not None,
+                             target_cblock_size=args.target_cblock)
 
 
 def _decompress_bytes(data: bytes, args) -> bytes:

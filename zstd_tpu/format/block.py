@@ -158,7 +158,8 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
 
 
 def compress_block_pieces(full, block_start, block_end, window_low, state,
-                          cparams, ldm_ctx=None):
+                          cparams, ldm_ctx=None,
+                          target_cblock_size: int | None = None):
     """Compress one block region into one-or-more blocks via cost-driven
     splitting of its seqstore (ZSTD_deriveBlockSplits analog; format/split.py).
 
@@ -203,9 +204,9 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
     whole = ([(whole_payload, BT_COMPRESSED, n)],
              BlockCState(whole_huf, whole_fse, new_reps))
 
-    if n < 32768:
+    if n < 32768 and not target_cblock_size:
         return whole
-    pts = split_points(seqs)
+    pts = split_points(seqs, target_cblock_size=target_cblock_size)
     if not pts:
         return whole
     bounds = [0] + pts + [seqs.nb_seq]
@@ -226,7 +227,10 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         pieces.append((payload, BT_COMPRESSED, clen))
         st = BlockCState(next_huf, next_fse, st.reps)
         total += clen
-    if sum(len(p) for p, _, _ in pieces) >= len(whole_payload):
+    if (not target_cblock_size
+            and sum(len(p) for p, _, _ in pieces) >= len(whole_payload)):
+        # entropy-driven splitting must pay for itself; target-size
+        # (superblock) splitting buys latency instead and keeps the split
         return whole
     return pieces, BlockCState(st.huf, st.fse, new_reps)
 

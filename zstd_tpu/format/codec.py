@@ -15,11 +15,15 @@ from .frame import compress_frame, decompress_frame, is_skippable
 
 
 def compress(data: bytes, level: int = 3, checksum: bool = False,
-             window_log: int | None = None, long_mode: bool = False) -> bytes:
+             window_log: int | None = None, long_mode: bool = False,
+             target_cblock_size: int | None = None) -> bytes:
     """One-shot compression into a single zstd frame.
 
     long_mode: enable the long-distance matcher (--long analog); pair with
-    an explicit window_log for windows beyond the level default."""
+    an explicit window_log for windows beyond the level default.
+    target_cblock_size: aim each emitted block's compressed size at this
+    many bytes (ZSTD_c_targetCBlockSize / superblock analog) for
+    low-latency streaming."""
     cparams = get_cparams(level, len(data))
     if window_log is not None:
         import dataclasses
@@ -27,7 +31,8 @@ def compress(data: bytes, level: int = 3, checksum: bool = False,
     from ..trace import GLOBAL_TRACER
     with GLOBAL_TRACER.span("compress", level, cparams.window_log) as rec:
         out = compress_frame(data, cparams, checksum=checksum,
-                             long_mode=long_mode)
+                             long_mode=long_mode,
+                             target_cblock_size=target_cblock_size)
         rec.src_size = len(data)
         rec.dst_size = len(out)
     return out

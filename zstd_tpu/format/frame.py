@@ -158,7 +158,8 @@ def _split_points(full: np.ndarray, bs: int, be: int,
 
 
 def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
-                   long_mode: bool = False, prefix: bytes = b"") -> bytes:
+                   long_mode: bool = False, prefix: bytes = b"",
+                   target_cblock_size: int | None = None) -> bytes:
     """One full zstd frame (ZSTD_compressContinue_internal driver shape).
 
     prefix: raw window prefix (ZSTD_CCtx_refPrefix / --patch-from analog):
@@ -195,7 +196,7 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
     # (ZSTD_deriveBlockSplits analog, format/split.py); the cheap
     # histogram-divergence pre-split (_split_points, zstd_preSplit.c analog)
     # applies at the faster levels
-    split_full = cparams.strategy >= 5
+    split_full = cparams.strategy >= 5 or bool(target_cblock_size)
     pos = p0
     n += p0
     while pos < n:
@@ -209,7 +210,8 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
         if split_full:
             from .block import compress_block_pieces
             pieces, state = compress_block_pieces(
-                full, pos, end, window_low, state, cparams, ldm_ctx=ldm_ctx)
+                full, pos, end, window_low, state, cparams, ldm_ctx=ldm_ctx,
+                target_cblock_size=target_cblock_size)
         else:
             payload, btype, state = compress_block(
                 full, pos, end, window_low, state, cparams, ldm_ctx=ldm_ctx)

@@ -62,14 +62,33 @@ class _Est:
         return lit_cost + code_cost + float(self.extra_bits[a:b].sum())
 
 
-def split_points(seqs: SeqStore, max_depth: int = 4) -> list[int]:
-    """Sequence-index split points (interior), or [] when one block wins."""
+def split_points(seqs: SeqStore, max_depth: int = 4,
+                 target_cblock_size: int | None = None) -> list[int]:
+    """Sequence-index split points (interior), or [] when one block wins.
+
+    target_cblock_size: when set (ZSTD_c_targetCBlockSize / superblock
+    analog, zstd_compress_superblock.c), additionally force splits so each
+    emitted block's ESTIMATED compressed size stays near the target —
+    low-latency streaming wants many small blocks regardless of entropy
+    cost."""
     n = seqs.nb_seq
-    if n < 2 * _MIN_SEQS:
-        return []
     lit_arr = np.frombuffer(seqs.literals, dtype=np.uint8)
     est = _Est(seqs, lit_arr)
     out: list[int] = []
+
+    if target_cblock_size:
+        tgt_bits = max(target_cblock_size, 1024) * 8
+        # vectorized per-sequence cost estimate: code entropy ~10 bits +
+        # extra bits + ~6 bits per literal byte; cut at target multiples
+        ll_bytes = np.diff(est.lit_starts)
+        per_seq = est.extra_bits + 10 + 6 * ll_bytes
+        cum = np.cumsum(per_seq)
+        marks = (cum / tgt_bits).astype(np.int64)
+        cuts = np.nonzero(np.diff(marks) > 0)[0] + 1
+        return [int(c) for c in cuts if 0 < c < n]
+
+    if n < 2 * _MIN_SEQS:
+        return []
 
     def rec(a: int, b: int, depth: int) -> None:
         if depth >= max_depth or b - a < 2 * _MIN_SEQS:
