@@ -7,5 +7,7 @@ across files, /root/reference/contrib/pzstd). The TPU-native equivalents:
 - blocks of one frame shard across chips over a `dp` mesh axis (zstdmt analog)
 - per-shard compressed lengths are exchanged with an all_gather; the ordered
   stitch (ZSTDMT_flushProduced analog) is an ordered concatenation on host
-- frames shard across hosts (pzstd analog) via jax.distributed
+- one frame shards across chips end-to-end (zstdmt analog): parallel.zstdmt
+- frames shard across hosts (pzstd analog): parallel.pzstd ranges +
+  parallel.multihost (jax.distributed process group, DCN gather)
 """
