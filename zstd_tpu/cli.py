@@ -345,6 +345,41 @@ def _mirror_stat(src: str, dst: str, args) -> None:
         pass
 
 
+def _do_zstdgrep(argv: list[str]) -> int:
+    """zstdgrep: grep through compressed files (programs/zstdgrep analog).
+    Usage: zstdgrep [grep options] PATTERN FILE..."""
+    import subprocess
+    import zstd_tpu
+    files = [a for a in argv if not a.startswith("-")][1:]
+    head = [a for a in argv if a not in files]
+    rc = 1
+    for f in files or []:
+        data = open(f, "rb").read()
+        if f.endswith((".zst", ".zstd")):
+            data = zstd_tpu.decompress(data)
+        r = subprocess.run(["grep", *head, "--label", f, "-H"],
+                           input=data, stdout=None)
+        rc = min(rc, r.returncode)
+    return rc
+
+
+def _do_zstdless(argv: list[str]) -> int:
+    """zstdless: view compressed files through $PAGER (zstdless analog)."""
+    import subprocess
+    import zstd_tpu
+    pager = os.environ.get("PAGER", "less")
+    rc = 0
+    for f in argv:
+        if f.startswith("-"):
+            continue
+        data = open(f, "rb").read()
+        if f.endswith((".zst", ".zstd")):
+            data = zstd_tpu.decompress(data)
+        r = subprocess.run([pager], input=data)
+        rc = max(rc, r.returncode)
+    return rc
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     prog = os.path.basename(sys.argv[0]) if sys.argv else "zstd"
@@ -354,7 +389,11 @@ def main(argv: list[str] | None = None) -> int:
         from .trace import GLOBAL_TRACER
         GLOBAL_TRACER.open_csv(args.trace)
 
-    # multi-personality (zstdcli.c:913-927)
+    # multi-personality (zstdcli.c:913-927) + zstdgrep/zstdless wrappers
+    if prog == "zstdgrep":
+        return _do_zstdgrep(argv)
+    if prog == "zstdless":
+        return _do_zstdless(argv)
     if prog in ("unzstd", "zstdcat"):
         args.decompress = True
     if prog == "zstdcat":
