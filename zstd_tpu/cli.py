@@ -171,6 +171,10 @@ def _compress_bytes(data: bytes, args) -> bytes:
 def _decompress_bytes(data: bytes, args) -> bytes:
     import zstd_tpu
     wlog_max = args.memory if args.memory else (args.long if args.long else 27)
+    if args.engine == "tpu" and not args.dictionary and not args.patch_from:
+        # device decode path (batched Huffman + pointer-doubling exec)
+        from .device_decoder import device_decompress
+        return device_decompress(data, window_log_max=wlog_max)
     if args.threads > 1 and not args.dictionary and not args.patch_from:
         from .parallel.pzstd import pzstd_decompress
         return pzstd_decompress(data, workers=args.threads,
