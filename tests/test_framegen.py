@@ -33,3 +33,50 @@ def test_synthesized_corpus_statistics():
         pos_hdr = frame[4] if False else None
         kinds["ck"] += frame[4] >> 2 & 1
     assert kinds["ck"] > 5  # checksummed frames occur
+
+
+def test_mutated_frames_never_crash_and_often_reject():
+    """golden-decompression-errors / fuzz-target analog: systematic
+    mutations of valid frames must produce a typed error or a clean decode
+    — never a crash, hang, or unhandled exception type."""
+    from zstd_tpu.errors import ZstdError
+    rng = np.random.default_rng(99)
+    checked = 0
+    rejected = 0
+    for seed in range(8):
+        frame, expected = gen_frame(seed + 4000)
+        muts = []
+        # truncations at structural points
+        for cut in (4, 5, 8, len(frame) // 2, len(frame) - 1):
+            if 0 < cut < len(frame):
+                muts.append(frame[:cut])
+        # bit flips sweeping the header + early payload + tail
+        for pos in list(range(0, min(len(frame), 12))) + \
+                [len(frame) // 2, len(frame) - 2]:
+            b = bytearray(frame)
+            b[pos] ^= 1 << int(rng.integers(8))
+            muts.append(bytes(b))
+        for m in muts:
+            checked += 1
+            try:
+                out = zstd_tpu.decompress(m, window_log_max=31)
+                # silent acceptance must at least be self-consistent
+                assert isinstance(out, bytes)
+            except ZstdError:
+                rejected += 1
+            except (ValueError, IndexError, OverflowError) as e:
+                raise AssertionError(
+                    f"untyped decoder failure {type(e).__name__}: {e}")
+    assert checked > 80
+    assert rejected > checked // 2  # most mutations must be caught
+
+
+def test_estimate_sizes_monotone():
+    from zstd_tpu.params import estimate_cctx_size, estimate_dctx_size
+    # srcSize adjustment can reorder mid levels (as in the reference);
+    # the extremes must still order and all must be sane
+    sizes = [estimate_cctx_size(lvl, 1 << 20) for lvl in (1, 3, 9, 19)]
+    assert sizes[0] < sizes[-1]
+    assert all(s > 1 << 16 for s in sizes)
+    assert estimate_dctx_size() > 0
+    assert estimate_cctx_size(1, 1 << 10) <= estimate_cctx_size(1, 1 << 24)
