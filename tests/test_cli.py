@@ -101,3 +101,37 @@ def test_decompress_reference_output_via_cli(ref):
     blob = ref_compress(data, "-19")
     d = run_cli(["-dc"], blob).stdout
     assert d == data
+
+
+def test_cli_threads_trace_recursive(tmp_path, ref):
+    """-T# parallel frames, --trace CSV, -r recursion, mtime mirroring."""
+    from tests.conftest import ref_decompress
+    d = tmp_path / "tree" / "sub"
+    d.mkdir(parents=True)
+    f1 = tmp_path / "tree" / "a.bin"
+    f2 = d / "b.bin"
+    f1.write_bytes(gen_text(120_000, seed=1))
+    f2.write_bytes(gen_text(80_000, seed=2))
+    os.utime(f1, (1000000000, 1000000000))
+    trace = tmp_path / "t.csv"
+    run_cli(["-3", "-T2", "-r", "--trace", str(trace),
+             str(tmp_path / "tree")])
+    for f in (f1, f2):
+        z = f.parent / (f.name + ".zst")
+        assert z.exists()
+        assert ref_decompress(z.read_bytes()) == f.read_bytes()
+    assert int((f1.parent / "a.bin.zst").stat().st_mtime) == 1000000000
+    rows = trace.read_text().strip().splitlines()
+    assert rows[0].startswith("Algorithm") and len(rows) >= 3
+
+
+def test_cli_filelist_and_superblock(tmp_path, ref):
+    from tests.conftest import ref_decompress
+    f = tmp_path / "x.bin"
+    f.write_bytes(gen_text(150_000, seed=3))
+    lst = tmp_path / "files.txt"
+    lst.write_text(str(f) + "\n")
+    run_cli(["-5", "--filelist", str(lst),
+             "--target-compressed-block-size", "2048"])
+    z = tmp_path / "x.bin.zst"
+    assert ref_decompress(z.read_bytes()) == f.read_bytes()
