@@ -89,3 +89,17 @@ def test_sharded_empty_and_tiny():
     assert zstd_tpu.decompress(compress_sharded(b"", mesh=mesh)) == b""
     assert zstd_tpu.decompress(
         compress_sharded(b"abc", mesh=mesh, checksum=True)) == b"abc"
+
+
+def test_determinism_same_input_same_bytes():
+    """Sanitizer-analog determinism (SURVEY §5): repeated runs and the
+    batched pipeline produce byte-identical output for identical input."""
+    from zstd_tpu import pipeline
+    data = _corpus(300_000)
+    a = zstd_tpu.compress(data, level=3, checksum=True)
+    b = zstd_tpu.compress(data, level=3, checksum=True)
+    assert a == b
+    c1 = pipeline.TpuCompressor(level=1, checksum=True).compress(data)
+    c2 = pipeline.TpuCompressor(level=1, checksum=True).compress(data)
+    assert c1 == c2
+    assert zstd_tpu.decompress(c1) == data
