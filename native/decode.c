@@ -99,6 +99,8 @@ typedef struct {
     uint8_t sym[1 << 9];
     uint8_t nb[1 << 9];
     uint16_t next[1 << 9];   /* baseline state */
+    uint32_t base[1 << 9];   /* fused per-state value base (seq tables) */
+    uint8_t xbits[1 << 9];   /* fused per-state extra-bit count */
     int log;
     int rle;                 /* rle mode: sym[0] repeated, 0 bits */
 } FseDT;
@@ -216,10 +218,17 @@ static int fse_read_ncount(const uint8_t* src, int64_t size, int16_t* counts,
     return (int)((bitpos + 7) / 8);
 }
 
-/* ---- Huffman ---- */
+/* ---- Huffman ----
+ * Double-symbol ("X2") decode table alongside the single-symbol arrays:
+ * x2[idx] packs (sym0, sym1, nbBits, nSyms) for the top-`log` window so one
+ * lookup emits up to two symbols (role of huf_decompress.c's
+ * HUF_decompress4X2 tables; derivation is our own: a second X1 probe at the
+ * shifted index determines whether the follow-up symbol is fully contained
+ * in the window). Total consumed bits per entry never exceed `log`. */
 typedef struct {
     uint8_t sym[1 << 11];
     uint8_t nb[1 << 11];
+    uint32_t x2[1 << 11];    /* sym0 | sym1<<8 | nbBits<<16 | nSyms<<24 */
     int log;
     int valid;
 } HufDT;
@@ -264,6 +273,25 @@ static int huf_build_dtable(HufDT* t, const uint8_t* weights, int n_sym) {
             t->nb[rank_start[w] + i] = nb;
         }
         rank_start[w] += len;
+    }
+    /* derive the double-symbol table from the canonical single-symbol fill */
+    {
+        uint32_t size2 = 1u << tlog;
+        uint32_t m = size2 - 1;
+        for (uint32_t i = 0; i < size2; i++) {
+            uint8_t nb1 = t->nb[i];
+            uint8_t s0 = t->sym[i];
+            uint32_t e = (uint32_t)s0 | ((uint32_t)s0 << 8)
+                         | ((uint32_t)nb1 << 16) | (1u << 24);
+            if (nb1 < tlog) {
+                uint32_t j = (i << nb1) & m;
+                uint8_t nb2 = t->nb[j];
+                if (nb2 <= tlog - nb1)
+                    e = (uint32_t)s0 | ((uint32_t)t->sym[j] << 8)
+                        | ((uint32_t)(nb1 + nb2) << 16) | (2u << 24);
+            }
+            t->x2[i] = e;
+        }
     }
     t->valid = 1;
     return 0;
@@ -322,29 +350,42 @@ static int huf_read_weights(const uint8_t* src, int64_t size,
     return 1 + csize;
 }
 
+/* continue decoding one stream whose BitRd is already positioned; starts at
+ * dst[i0]. X2 fast loop (two symbols per table probe, up to five probes per
+ * 64-bit reload), then a strict scalar tail. */
+static int64_t huf_stream_continue(const HufDT* t, BitRd* br, uint8_t* dst,
+                                   int64_t i0, int64_t n_out) {
+    int tlog = t->log;
+    uint32_t mask = (1u << tlog) - 1;
+    int64_t i = i0;
+    int64_t size = br->size;
+    while (i + 10 <= n_out && br->bit_pos >= 57) {
+        int64_t byte = (br->bit_pos - 57) >> 3;
+        if (byte + 8 > size) break;
+        uint64_t v;
+        memcpy(&v, br->start + byte, 8);
+        int64_t bb = byte << 3;
+        /* each probe consumes <= tlog bits: 5 probes stay inside the load */
+        for (int k = 0; k < 5; k++) {
+            uint32_t e = t->x2[(uint32_t)((v >> (br->bit_pos - tlog - bb))
+                                          & mask)];
+            dst[i] = (uint8_t)e;
+            dst[i + 1] = (uint8_t)(e >> 8);
+            i += e >> 24;
+            br->bit_pos -= (e >> 16) & 0xFF;
+        }
+    }
+    return i;
+}
+
 /* decode one Huffman stream */
 static int huf_decode_stream(const HufDT* t, const uint8_t* src, int64_t size,
                              uint8_t* dst, int64_t n_out) {
     BitRd br;
     if (bitrd_init(&br, src, size) < 0) return -1;
     int tlog = t->log;
-    uint32_t mask = (1u << tlog) - 1;
-    int64_t i = 0;
-    /* fast loop: one 64-bit load serves 4 symbol decodes */
-    while (i + 4 <= n_out && br.bit_pos >= 57) {
-        int64_t lo = br.bit_pos - 57;
-        int64_t byte = lo >> 3;
-        if (byte + 8 > size) break;
-        uint64_t v;
-        memcpy(&v, br.start + byte, 8);
-        int64_t bb = byte << 3;
-        for (int k = 0; k < 4; k++) {
-            int64_t p = br.bit_pos - tlog;
-            uint32_t idx = (uint32_t)((v >> (p - bb)) & mask);
-            dst[i++] = t->sym[idx];
-            br.bit_pos -= t->nb[idx];
-        }
-    }
+    int64_t i = huf_stream_continue(t, &br, dst, 0, n_out);
+    if (br.bit_pos < 0) return -1;
     for (; i < n_out; i++) {
         int64_t p = br.bit_pos - tlog;
         uint32_t idx;
@@ -370,6 +411,78 @@ static int huf_decode_stream(const HufDT* t, const uint8_t* src, int64_t size,
     return bitrd_done(&br) ? 0 : -1;
 }
 
+/* decode the 4 jump-table streams of one literals section in lockstep:
+ * four independent bit-reader chains give the out-of-order core ~4x ILP on
+ * the serial lookup->shift->lookup dependency (role of the reference's
+ * hand-scheduled 4-stream loop, huf_decompress_amd64.S). */
+static int huf_decode_4streams(const HufDT* t, const uint8_t* srcs[4],
+                               const int64_t sizes[4], uint8_t* dsts[4],
+                               const int64_t n_outs[4]) {
+    BitRd br[4];
+    int64_t i[4];
+    int tlog = t->log;
+    uint32_t mask = (1u << tlog) - 1;
+    for (int s = 0; s < 4; s++) {
+        if (bitrd_init(&br[s], srcs[s], sizes[s]) < 0) return -1;
+        i[s] = 0;
+    }
+    for (;;) {
+        /* a full round: 4 probes/stream, <= 44 bits, <= 8 symbols */
+        int ok = 1;
+        for (int s = 0; s < 4; s++)
+            ok &= (i[s] + 10 <= n_outs[s]) & (br[s].bit_pos >= 57)
+                  & (((br[s].bit_pos - 57) >> 3) + 8 <= br[s].size);
+        if (!ok) break;
+        uint64_t v[4];
+        int64_t bb[4];
+        for (int s = 0; s < 4; s++) {
+            int64_t byte = (br[s].bit_pos - 57) >> 3;
+            memcpy(&v[s], br[s].start + byte, 8);
+            bb[s] = byte << 3;
+        }
+        for (int k = 0; k < 5; k++) {
+            for (int s = 0; s < 4; s++) {
+                uint32_t e = t->x2[(uint32_t)(
+                    (v[s] >> (br[s].bit_pos - tlog - bb[s])) & mask)];
+                dsts[s][i[s]] = (uint8_t)e;
+                dsts[s][i[s] + 1] = (uint8_t)(e >> 8);
+                i[s] += e >> 24;
+                br[s].bit_pos -= (e >> 16) & 0xFF;
+            }
+        }
+    }
+    /* drain each stream independently (X2 fast loop + strict scalar tail) */
+    for (int s = 0; s < 4; s++) {
+        int64_t n_out = n_outs[s];
+        uint8_t* dst = dsts[s];
+        BitRd* b = &br[s];
+        int64_t j = huf_stream_continue(t, b, dst, i[s], n_out);
+        for (; j < n_out; j++) {
+            int64_t p = b->bit_pos - tlog;
+            uint32_t idx;
+            if (p >= 0) {
+                idx = bits_at(b, p, tlog);
+            } else {
+                uint32_t have = (uint32_t)b->bit_pos;
+                if ((int64_t)have <= 0) return -1;
+                uint64_t v2 = 0;
+                int got = 0;
+                while (got < (int)have && got < 64) {
+                    v2 |= (uint64_t)b->start[got >> 3] << got;
+                    got += 8;
+                }
+                uint32_t bits = (uint32_t)(v2 & ((1u << have) - 1));
+                idx = bits << (tlog - have);
+            }
+            dst[j] = t->sym[idx];
+            b->bit_pos -= t->nb[idx];
+            if (b->bit_pos < 0) return -1;
+        }
+        if (!bitrd_done(b)) return -1;
+    }
+    return 0;
+}
+
 /* ---- decoder context ---- */
 typedef struct {
     HufDT huf;
@@ -387,30 +500,65 @@ void* zt_dctx_new(void) {
 
 void zt_dctx_free(void* c) { free(c); }
 
+/* fold the symbol->(value base, extra bits) mapping into the state table so
+ * the hot loop skips the code indirection (role of the reference's
+ * seq_symbol tables, zstd_decompress_block.c ZSTD_buildFSETable) */
+/* offset-code value tables: value = (1<<code) + extra (codes 0..31) */
+static uint32_t OF_BASEV[32];
+static uint8_t OF_BITSV[32];
+static void of_tables_init(void) {
+    if (OF_BASEV[1]) return;
+    for (int c = 0; c < 32; c++) {
+        OF_BASEV[c] = (uint32_t)1 << c;
+        OF_BITSV[c] = (uint8_t)c;
+    }
+}
+
+static int fuse_seq_table(FseDT* t, const uint32_t* bases,
+                          const uint8_t* xbits, int n_codes) {
+    int size = 1 << t->log;
+    for (int c = 0; c < size; c++) {
+        uint8_t s = t->sym[c];
+        if (s >= n_codes) return -1;
+        t->base[c] = bases[s];
+        t->xbits[c] = xbits[s];
+    }
+    return 0;
+}
+
 static int build_seq_table(FseDT* t, const uint8_t** srcp, const uint8_t* end,
                            int mode, const int16_t* defaults, int n_def,
-                           int deflog, int maxlog, int valid_prev) {
+                           int n_codes, int deflog, int maxlog,
+                           int valid_prev,
+                           const uint32_t* bases, const uint8_t* xbits) {
     const uint8_t* src = *srcp;
+    int r;
     if (mode == 0) {                       /* predefined */
-        return fse_build_dtable(t, defaults, n_def, deflog);
-    } else if (mode == 1) {                /* RLE: one byte symbol */
+        r = fse_build_dtable(t, defaults, n_def, deflog);
+    } else if (mode == 1) {                /* RLE: a single-state 0-bit table
+                                              (uniform with the FSE path so
+                                              the hot loop stays branchless) */
         if (src >= end) return -1;
-        t->rle = 1;
+        t->rle = 0;
         t->sym[0] = *src;
         t->nb[0] = 0;
+        t->next[0] = 0;
         t->log = 0;
         *srcp = src + 1;
-        return 0;
+        r = 0;
     } else if (mode == 2) {                /* FSE description */
         int16_t counts[64];
         int n_sym, tlog;
         int hsz = fse_read_ncount(src, end - src, counts, &n_sym, &tlog,
-                                  n_def - 1);
+                                  n_codes - 1);
         if (hsz < 0 || tlog > maxlog) return -1;
         *srcp = src + hsz;
-        return fse_build_dtable(t, counts, n_sym, tlog);
+        r = fse_build_dtable(t, counts, n_sym, tlog);
+    } else {
+        return valid_prev ? 0 : -1;        /* repeat: keep fused table */
     }
-    return valid_prev ? 0 : -1;            /* repeat */
+    if (r < 0) return r;
+    return fuse_seq_table(t, bases, xbits, n_codes);
 }
 
 /* returns bytes written at dstBase+dstPos, or -1 */
@@ -504,14 +652,16 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
             int64_t seg = (nlit + 3) / 4;
             int64_t n4 = nlit - 3 * seg;
             if (n4 < 0) return -1;
-            if (huf_decode_stream(&ctx->huf, q, s1, ctx->lits, seg) < 0)
-                return -1;
-            if (huf_decode_stream(&ctx->huf, q + s1, s2, ctx->lits + seg,
-                                  seg) < 0) return -1;
-            if (huf_decode_stream(&ctx->huf, q + s1 + s2, s3,
-                                  ctx->lits + 2 * seg, seg) < 0) return -1;
-            if (huf_decode_stream(&ctx->huf, q + s1 + s2 + s3, s4,
-                                  ctx->lits + 3 * seg, n4) < 0) return -1;
+            {
+                const uint8_t* srcs[4] = {q, q + s1, q + s1 + s2,
+                                          q + s1 + s2 + s3};
+                const int64_t szs[4] = {s1, s2, s3, s4};
+                uint8_t* dsts[4] = {ctx->lits, ctx->lits + seg,
+                                    ctx->lits + 2 * seg, ctx->lits + 3 * seg};
+                const int64_t nos[4] = {seg, seg, seg, n4};
+                if (huf_decode_4streams(&ctx->huf, srcs, szs, dsts, nos) < 0)
+                    return -1;
+            }
         }
         p = lend;
     }
@@ -540,19 +690,20 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
     if (scm & 3) return -1;                 /* reserved bits */
     int ll_mode = (scm >> 6) & 3, of_mode = (scm >> 4) & 3,
         ml_mode = (scm >> 2) & 3;
+    of_tables_init();
     FseDT nll = ctx->ll, nof = ctx->of, nml = ctx->ml;
-    if (build_seq_table(&nll, &p, end, ll_mode, LL_DEF, 36, LL_DEFLOG, 9,
-                        ctx->seq_valid) < 0) return -1;
-    if (build_seq_table(&nof, &p, end, of_mode, OF_DEF, 29, OF_DEFLOG, 8,
-                        ctx->seq_valid) < 0) return -1;
-    if (build_seq_table(&nml, &p, end, ml_mode, ML_DEF, 53, ML_DEFLOG, 9,
-                        ctx->seq_valid) < 0) return -1;
+    if (build_seq_table(&nll, &p, end, ll_mode, LL_DEF, 36, 36, LL_DEFLOG, 9,
+                        ctx->seq_valid, LL_BASE, LL_BITS) < 0) return -1;
+    if (build_seq_table(&nof, &p, end, of_mode, OF_DEF, 29, 32, OF_DEFLOG, 8,
+                        ctx->seq_valid, OF_BASEV, OF_BITSV) < 0) return -1;
+    if (build_seq_table(&nml, &p, end, ml_mode, ML_DEF, 53, 53, ML_DEFLOG, 9,
+                        ctx->seq_valid, ML_BASE, ML_BITS) < 0) return -1;
 
     BitRd br;
     if (bitrd_init(&br, p, end - p) < 0) return -1;
-    uint32_t sll = nll.rle ? 0 : bitrd_read(&br, nll.log);
-    uint32_t sof = nof.rle ? 0 : bitrd_read(&br, nof.log);
-    uint32_t sml = nml.rle ? 0 : bitrd_read(&br, nml.log);
+    uint32_t sll = bitrd_read(&br, nll.log);
+    uint32_t sof = bitrd_read(&br, nof.log);
+    uint32_t sml = bitrd_read(&br, nml.log);
 
     int64_t out = dstPos;
     int64_t lit_pos = 0;
@@ -560,19 +711,38 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
     uint32_t rep0 = ctx->rep[0], rep1 = ctx->rep[1], rep2 = ctx->rep[2];
 
     for (int64_t i = 0; i < nbseq; i++) {
-        uint32_t llc = nll.rle ? nll.sym[0] : nll.sym[sll];
-        uint32_t ofc = nof.rle ? nof.sym[0] : nof.sym[sof];
-        uint32_t mlc = nml.rle ? nml.sym[0] : nml.sym[sml];
-        if (llc > 35 || mlc > 52 || ofc > 31) return -1;
-
-        uint32_t ofbase_v;
-        if (ofc == 0) ofbase_v = 0;  /* read 0 bits -> value 0 */
-        uint32_t of_extra = bitrd_read(&br, (int)ofc);
-        uint64_t offv = ((uint64_t)1 << ofc) + of_extra;
-        (void)ofbase_v;
-        uint32_t ml = ML_BASE[mlc] + bitrd_read(&br, ML_BITS[mlc]);
-        uint32_t ll = LL_BASE[llc] + bitrd_read(&br, LL_BITS[llc]);
-        if (br.err) return -1;
+        /* fused tables: state -> (base, extra bits) directly; the three
+         * value fields read from independent precomputed bit positions
+         * (of above ml above ll), breaking the serial
+         * read->update->read chain into parallel loads */
+        int ofb = nof.xbits[sof], mlb = nml.xbits[sml], llb = nll.xbits[sll];
+        int tot = ofb + mlb + llb;
+        int64_t p_ll = br.bit_pos - tot;
+        if (p_ll < 0) return -1;
+        uint64_t offv, mlx, llx;
+        {
+            int64_t byte = p_ll >> 3;
+            int sh = (int)(p_ll & 7);
+            if (byte + 8 <= br.size && tot + sh <= 64) {
+                /* one load covers all three fields (ll lowest, of highest) */
+                uint64_t w;
+                memcpy(&w, br.start + byte, 8);
+                w >>= sh;
+                llx = w & ((llb >= 32) ? 0xFFFFFFFFu : ((1u << llb) - 1));
+                w >>= llb;
+                mlx = w & ((1u << mlb) - 1);
+                w >>= mlb;
+                offv = w & (((uint64_t)1 << ofb) - 1);
+            } else {
+                offv = bits_at(&br, p_ll + llb + mlb, ofb);
+                mlx = bits_at(&br, p_ll + llb, mlb);
+                llx = bits_at(&br, p_ll, llb);
+            }
+        }
+        offv += nof.base[sof];
+        uint32_t ml = nml.base[sml] + (uint32_t)mlx;
+        uint32_t ll = nll.base[sll] + (uint32_t)llx;
+        br.bit_pos = p_ll;
 
         /* repcode resolution (spec Repeat offsets; ofc==0 => offv==1) */
         uint32_t offset;
@@ -590,22 +760,64 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
         }
         if (offset == 0) return -1;
 
-        /* state updates (all but last sequence) */
+        /* state updates (all but last sequence): same parallel-load trick */
         if (i + 1 < nbseq) {
-            if (!nll.rle) sll = nll.next[sll] + bitrd_read(&br, nll.nb[sll]);
-            if (!nml.rle) sml = nml.next[sml] + bitrd_read(&br, nml.nb[sml]);
-            if (!nof.rle) sof = nof.next[sof] + bitrd_read(&br, nof.nb[sof]);
-            if (br.err) return -1;
+            int nbl = nll.nb[sll];
+            int nbm = nml.nb[sml];
+            int nbo = nof.nb[sof];
+            int stot = nbl + nbm + nbo;        /* <= 9+9+8 = 26 bits */
+            int64_t q_of = br.bit_pos - stot;
+            if (q_of < 0) return -1;
+            int64_t byte = q_of >> 3;
+            if (byte + 8 <= br.size) {
+                uint64_t w;
+                memcpy(&w, br.start + byte, 8);
+                w >>= (int)(q_of & 7);         /* bit 0 == q_of; of lowest */
+                sof = nof.next[sof] + (uint32_t)(w & ((1u << nbo) - 1));
+                w >>= nbo;
+                sml = nml.next[sml] + (uint32_t)(w & ((1u << nbm) - 1));
+                w >>= nbm;
+                sll = nll.next[sll] + (uint32_t)(w & ((1u << nbl) - 1));
+            } else {
+                sll = nll.next[sll] + bits_at(&br, q_of + nbo + nbm, nbl);
+                sml = nml.next[sml] + bits_at(&br, q_of + nbo, nbm);
+                sof = nof.next[sof] + bits_at(&br, q_of, nbo);
+            }
+            br.bit_pos = q_of;
         }
 
-        /* exec */
+        /* exec: fixed-stride overshooting copies when the destination has
+         * slack (dst buffers carry a block of headroom), byte-exact
+         * fallbacks otherwise */
         if (lit_pos + ll > nlit) return -1;
         if (out + ll + ml > dstCap) return -1;
-        memcpy(dstBase + out, ctx->lits + lit_pos, ll);
+        int wild = (out + ll + ml + 32 <= dstCap);
+        if (wild && ll <= 16) {
+            memcpy(dstBase + out, ctx->lits + lit_pos, 16);
+        } else if (wild) {
+            const uint8_t* s0 = ctx->lits + lit_pos;
+            uint8_t* d0 = dstBase + out;
+            for (int64_t c = 0; c < ll; c += 16)
+                memcpy(d0 + c, s0 + c, 16);
+        } else {
+            memcpy(dstBase + out, ctx->lits + lit_pos, ll);
+        }
         lit_pos += ll;
         out += ll;
         if ((int64_t)out - (int64_t)offset < windowLow) return -1;
-        {   /* overlap-safe match copy */
+        if (wild && offset >= 16) {
+            const uint8_t* s0 = dstBase + out - offset;
+            uint8_t* d0 = dstBase + out;
+            for (int64_t c = 0; c < ml; c += 16)
+                memcpy(d0 + c, s0 + c, 16);
+            out += ml;
+        } else if (wild && offset >= 8) {
+            const uint8_t* s0 = dstBase + out - offset;
+            uint8_t* d0 = dstBase + out;
+            for (int64_t c = 0; c < ml; c += 8)
+                memcpy(d0 + c, s0 + c, 8);
+            out += ml;
+        } else {   /* overlap-safe doubling copy */
             int64_t from = out - offset;
             int64_t rem = ml;
             while (rem > 0) {
@@ -634,4 +846,149 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
     ctx->seq_valid = 1;
     ctx->rep[0] = rep0; ctx->rep[1] = rep1; ctx->rep[2] = rep2;
     return out - dstPos;
+}
+
+/* walk all blocks of one frame in C (headers + dispatch; role of
+ * ZSTD_decompressFrame's block loop, zstd_decompress.c:951). Python parses
+ * the frame header and allocates the output buffer; this runs the rest.
+ * Returns total bytes produced, sets *consumed to src bytes eaten, or -1
+ * (caller falls back to the per-block / Python path). */
+int64_t zt_decompress_blocks(void* vctx, const uint8_t* src, int64_t srcSize,
+                             uint8_t* dstBase, int64_t dstPos, int64_t dstCap,
+                             int64_t windowSize, int64_t blockMax,
+                             int64_t* consumed) {
+    const uint8_t* p = src;
+    const uint8_t* end = src + srcSize;
+    int64_t out = dstPos;
+    int last = 0;
+    while (!last) {
+        if (p + 3 > end) return -1;
+        uint32_t bh = (uint32_t)p[0] | ((uint32_t)p[1] << 8)
+                      | ((uint32_t)p[2] << 16);
+        p += 3;
+        last = bh & 1;
+        int btype = (bh >> 1) & 3;
+        int64_t bsize = bh >> 3;
+        if (btype == 0) {                  /* raw */
+            if (bsize > blockMax || p + bsize > end
+                || out + bsize > dstCap) return -1;
+            memcpy(dstBase + out, p, bsize);
+            out += bsize;
+            p += bsize;
+        } else if (btype == 1) {           /* rle */
+            if (bsize > blockMax || p + 1 > end
+                || out + bsize > dstCap) return -1;
+            memset(dstBase + out, *p, bsize);
+            out += bsize;
+            p += 1;
+        } else if (btype == 2) {           /* compressed */
+            if (bsize > blockMax || p + bsize > end) return -1;
+            int64_t wlow = out - windowSize;
+            if (wlow < 0) wlow = 0;
+            int64_t r = zt_decompress_block(vctx, p, bsize, dstBase, out,
+                                            dstCap, wlow, blockMax);
+            if (r < 0) return -1;
+            out += r;
+            p += bsize;
+        } else {
+            return -1;                     /* reserved */
+        }
+    }
+    *consumed = p - src;
+    return out - dstPos;
+}
+
+/* decode a block's sequences section WITHOUT executing it: emits per-
+ * sequence (litLen, matchLen, absolute offset) with repcodes resolved,
+ * carrying FSE/repcode state across blocks in the ctx. Feeds the device
+ * executor (zstd_tpu/device_decoder.py) so the host side of the device
+ * decode path stays native-speed (role of the seqStore half of
+ * zstd_decompress_block.c ZSTD_decompressSequences split out).
+ * src points at the sequences section. Returns nbseq (>=0) or -1. */
+int64_t zt_decode_sequences(void* vctx, const uint8_t* src, int64_t srcSize,
+                            int32_t* out_ll, int32_t* out_ml,
+                            int32_t* out_off, int64_t cap) {
+    ZtDCtx* ctx = (ZtDCtx*)vctx;
+    const uint8_t* p = src;
+    const uint8_t* end = src + srcSize;
+    if (p >= end) return -1;
+    int64_t nbseq;
+    if (p[0] < 128) { nbseq = *p++; }
+    else if (p[0] < 255) {
+        if (p + 2 > end) return -1;
+        nbseq = (((int64_t)p[0] - 128) << 8) + p[1];
+        p += 2;
+    } else {
+        if (p + 3 > end) return -1;
+        nbseq = p[1] + ((int64_t)p[2] << 8) + 0x7F00;
+        p += 3;
+    }
+    if (nbseq == 0) return (p == end) ? 0 : -1;
+    if (nbseq > cap || p >= end) return -1;
+    int scm = *p++;
+    if (scm & 3) return -1;
+    int ll_mode = (scm >> 6) & 3, of_mode = (scm >> 4) & 3,
+        ml_mode = (scm >> 2) & 3;
+    of_tables_init();
+    FseDT nll = ctx->ll, nof = ctx->of, nml = ctx->ml;
+    if (build_seq_table(&nll, &p, end, ll_mode, LL_DEF, 36, 36, LL_DEFLOG, 9,
+                        ctx->seq_valid, LL_BASE, LL_BITS) < 0) return -1;
+    if (build_seq_table(&nof, &p, end, of_mode, OF_DEF, 29, 32, OF_DEFLOG, 8,
+                        ctx->seq_valid, OF_BASEV, OF_BITSV) < 0) return -1;
+    if (build_seq_table(&nml, &p, end, ml_mode, ML_DEF, 53, 53, ML_DEFLOG, 9,
+                        ctx->seq_valid, ML_BASE, ML_BITS) < 0) return -1;
+
+    BitRd br;
+    if (bitrd_init(&br, p, end - p) < 0) return -1;
+    uint32_t sll = bitrd_read(&br, nll.log);
+    uint32_t sof = bitrd_read(&br, nof.log);
+    uint32_t sml = bitrd_read(&br, nml.log);
+    uint32_t rep0 = ctx->rep[0], rep1 = ctx->rep[1], rep2 = ctx->rep[2];
+
+    for (int64_t i = 0; i < nbseq; i++) {
+        int ofb = nof.xbits[sof], mlb = nml.xbits[sml], llb = nll.xbits[sll];
+        int64_t p_of = br.bit_pos - ofb;
+        int64_t p_ml = p_of - mlb;
+        int64_t p_ll = p_ml - llb;
+        if (p_ll < 0) return -1;
+        uint64_t offv = nof.base[sof] + bits_at(&br, p_of, ofb);
+        uint32_t ml = nml.base[sml] + bits_at(&br, p_ml, mlb);
+        uint32_t ll = nll.base[sll] + bits_at(&br, p_ll, llb);
+        br.bit_pos = p_ll;
+
+        uint32_t offset;
+        if (offv > 3) {
+            offset = (uint32_t)(offv - 3);
+            rep2 = rep1; rep1 = rep0; rep0 = offset;
+        } else {
+            uint32_t idx = (uint32_t)offv + (ll == 0 ? 1 : 0);
+            if (idx == 1) offset = rep0;
+            else if (idx == 2) { offset = rep1; rep1 = rep0; rep0 = offset; }
+            else if (idx == 3) { offset = rep2; rep2 = rep1; rep1 = rep0;
+                                 rep0 = offset; }
+            else { offset = rep0 - 1; if (offset == 0) return -1;
+                   rep2 = rep1; rep1 = rep0; rep0 = offset; }
+        }
+        if (offset == 0) return -1;
+
+        if (i + 1 < nbseq) {
+            int nbl = nll.nb[sll], nbm = nml.nb[sml], nbo = nof.nb[sof];
+            int64_t q_ll = br.bit_pos - nbl;
+            int64_t q_ml = q_ll - nbm;
+            int64_t q_of = q_ml - nbo;
+            if (q_of < 0) return -1;
+            sll = nll.next[sll] + bits_at(&br, q_ll, nbl);
+            sml = nml.next[sml] + bits_at(&br, q_ml, nbm);
+            sof = nof.next[sof] + bits_at(&br, q_of, nbo);
+            br.bit_pos = q_of;
+        }
+        out_ll[i] = (int32_t)ll;
+        out_ml[i] = (int32_t)ml;
+        out_off[i] = (int32_t)offset;
+    }
+    if (!bitrd_done(&br)) return -1;
+    ctx->ll = nll; ctx->of = nof; ctx->ml = nml;
+    ctx->seq_valid = 1;
+    ctx->rep[0] = rep0; ctx->rep[1] = rep1; ctx->rep[2] = rep2;
+    return nbseq;
 }

@@ -143,9 +143,11 @@ def _compress_bytes(data: bytes, args) -> bytes:
         from .format.codec import compress_patch
         patch = open(args.patch_from, "rb").read()
         return compress_patch(data, patch, level=level, checksum=checksum)
+    # multi-frame parallel output only on an EXPLICIT -T#: the reference's
+    # default (-T0) stays single-frame (zstdmt windows share one frame), so
+    # silently switching frame structure on size alone would diverge in
+    # --list output and ratio
     nb_workers = args.threads
-    if nb_workers == 0 and len(data) >= (1 << 23):
-        nb_workers = min(os.cpu_count() or 1, 4)
     if nb_workers > 1 and args.dictionary is None and not args.long:
         # -T#: pzstd-style parallel independent frames (multi-frame output
         # any decoder reads; /root/reference/contrib/pzstd/Pzstd.cpp:73)
@@ -387,17 +389,21 @@ def _do_zstdless(argv: list[str]) -> int:
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     prog = os.path.basename(sys.argv[0]) if sys.argv else "zstd"
+    # zstdgrep/zstdless dispatch BEFORE option parsing: these personalities
+    # forward arbitrary grep/pager flags (-i, -E, -A2, ...) verbatim, which
+    # the zstd parser would otherwise reject or consume with zstd semantics
+    # (reference: programs/zstdgrep passes "$@" straight to grep)
+    if prog == "zstdgrep":
+        return _do_zstdgrep(argv)
+    if prog == "zstdless":
+        return _do_zstdless(argv)
     parser = build_parser(prog)
     args = parser.parse_args(argv)
     if args.trace:
         from .trace import GLOBAL_TRACER
         GLOBAL_TRACER.open_csv(args.trace)
 
-    # multi-personality (zstdcli.c:913-927) + zstdgrep/zstdless wrappers
-    if prog == "zstdgrep":
-        return _do_zstdgrep(argv)
-    if prog == "zstdless":
-        return _do_zstdless(argv)
+    # multi-personality (zstdcli.c:913-927)
     if prog in ("unzstd", "zstdcat"):
         args.decompress = True
     if prog == "zstdcat":
@@ -427,6 +433,8 @@ def main(argv: list[str] | None = None) -> int:
                      and args.adapt is None and args.threads <= 1
                      and not args.long and not args.test
                      and not args.stdout and args.fast is None
+                     and args.engine == "auto"
+                     and args.target_cblock is None
                      and f != "-")
             if plain and os.path.isfile(f) and \
                     os.path.getsize(f) >= (8 << 20):

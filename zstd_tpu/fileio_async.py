@@ -81,6 +81,11 @@ class AsyncWriter:
                     fh.truncate(fh.tell())
         except BaseException as e:
             self._err = e
+            # drain until the close() sentinel so producers blocked on the
+            # bounded queue wake up and see the error (ENOSPC etc. must
+            # surface, not deadlock write()/close())
+            while self._q.get() is not None:
+                pass
 
     @staticmethod
     def _write_sparse(fh, b: bytes) -> None:
@@ -102,12 +107,24 @@ class AsyncWriter:
             pos = end
 
     def write(self, b: bytes) -> None:
-        if self._err is not None:
-            raise self._err
-        self._q.put(b)
+        while True:
+            if self._err is not None:
+                raise self._err
+            try:
+                self._q.put(b, timeout=0.2)
+                return
+            except queue.Full:
+                continue
 
     def close(self) -> None:
-        self._q.put(None)
+        # always deliver the sentinel: the writer thread (or its error-path
+        # drain loop) is consuming, so this put eventually succeeds
+        while True:
+            try:
+                self._q.put(None, timeout=0.2)
+                break
+            except queue.Full:
+                continue
         self._t.join()
         if self._err is not None:
             raise self._err

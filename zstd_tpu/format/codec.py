@@ -71,7 +71,7 @@ def decompress_patch(data: bytes, patch: bytes,
 def decompress(data: bytes,
                window_log_max: int = WINDOWLOG_LIMIT_DEFAULT) -> bytes:
     """One-shot decompression of all concatenated frames (incl. skippable)."""
-    out = bytearray()
+    parts: list[bytes] = []
     pos = 0
     if len(data) == 0:
         raise ZstdError(ZstdErrorCode.srcSize_wrong, "empty input")
@@ -98,5 +98,6 @@ def decompress(data: bytes,
             content, pos = decompress_frame(data, pos, window_log_max)
             rec.src_size = pos - frame_start
             rec.dst_size = len(content)
-        out += content
-    return bytes(out)
+        parts.append(content)
+    # single-frame fast path: bytes.join returns the sole element uncopied
+    return b"".join(parts)

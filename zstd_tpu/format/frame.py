@@ -270,6 +270,27 @@ def _decompress_frame_native(data: bytes, pos: int, hdr: FrameHeader,
         block_max = min(max(hdr.frame_content_size, 1), BLOCK_MAX_SIZE)
     ctx = nat.dctx_new()
     try:
+        if hdr.frame_content_size is not None:
+            # whole-frame fast path: block headers + dispatch stay in C
+            res = nat.decompress_blocks(
+                ctx, data, pos, buf, p0,
+                hdr.window_size or (1 << 62), block_max)
+            if res is not None:
+                produced, consumed = res
+                pos += consumed
+                content = buf[p0 : p0 + produced].tobytes()
+                if len(content) != hdr.frame_content_size:
+                    return None
+                if hdr.checksum_flag:
+                    if pos + 4 > len(data):
+                        return None
+                    expect = int.from_bytes(data[pos : pos + 4], "little")
+                    pos += 4
+                    if content_checksum(content) != expect:
+                        raise ZstdError(ZstdErrorCode.checksum_wrong,
+                                        "content checksum mismatch")
+                return content, pos
+            return None
         out_pos = p0
         last = False
         while not last:

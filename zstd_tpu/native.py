@@ -51,6 +51,15 @@ class _Native:
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64]
+        lib.zt_decompress_blocks.restype = ctypes.c_int64
+        lib.zt_decompress_blocks.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64)]
+        lib.zt_decode_sequences.restype = ctypes.c_int64
+        lib.zt_decode_sequences.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_int64]
 
     def xxh64(self, data: bytes, seed: int = 0) -> int:
         return self._lib.zt_xxh64(data, len(data), seed)
@@ -83,6 +92,41 @@ class _Native:
         return self._lib.zt_decompress_block(
             ctx, payload, len(payload), dst.ctypes.data_as(u8p), dst_pos,
             len(dst), window_low, block_max)
+
+    def decompress_blocks(self, ctx, src, src_off: int, dst, dst_pos: int,
+                          window_size: int, block_max: int):
+        """Walk ALL blocks of one frame in C. `src` is the whole input as a
+        bytes object read by pointer at src_off (no slice copy). Returns
+        (produced, consumed) or None (fall back to the per-block path)."""
+        import ctypes as ct
+        u8p = ct.POINTER(ct.c_uint8)
+        consumed = ct.c_int64(0)
+        base = ct.cast(ct.c_char_p(src), ct.c_void_p).value + src_off
+        r = self._lib.zt_decompress_blocks(
+            ctx, ct.c_void_p(base), len(src) - src_off,
+            dst.ctypes.data_as(u8p), dst_pos,
+            len(dst), window_size, block_max, ct.byref(consumed))
+        if r < 0:
+            return None
+        return int(r), int(consumed.value)
+
+    def decode_sequences(self, ctx, payload: bytes):
+        """Decode one block's sequences section (FSE + repcode resolution in
+        C). Returns (ll, ml, off_abs) int32 arrays or None on error."""
+        import ctypes as ct
+        import numpy as np
+        cap = len(payload) * 2 + 16
+        ll = np.empty(cap, dtype=np.int32)
+        ml = np.empty(cap, dtype=np.int32)
+        off = np.empty(cap, dtype=np.int32)
+        i32p = ct.POINTER(ct.c_int32)
+        n = self._lib.zt_decode_sequences(
+            ctx, payload, len(payload),
+            ll.ctypes.data_as(i32p), ml.ctypes.data_as(i32p),
+            off.ctypes.data_as(i32p), cap)
+        if n < 0:
+            return None
+        return ll[:n], ml[:n], off[:n]
 
     def opt_parse(self, full, window_low: int, block_start: int,
                   block_end: int, reps: tuple, hash_log: int,

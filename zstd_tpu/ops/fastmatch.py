@@ -357,8 +357,6 @@ def extract_block_v3(block: jax.Array, valid_len, hash_log: int, mls: int,
         (seq_pos, seq_len, vmask, jnp.int32(0), jnp.any(vmask)))
     seq_len = jnp.where(vmask, seq_len, 0)
 
-    # literal-length    seq_len = jnp.where(vmask, seq_len, 0)
-
     # literal-length derivation + coverage
     prev_match_end = jnp.where(
         k == 0, emit_from, jnp.roll(seq_pos + seq_len, 1))
