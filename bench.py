@@ -25,6 +25,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 _INNER = r'''
 import json, os, sys, time
 sys.path.insert(0, os.environ["ZSTD_TPU_REPO"])
+sys.path.insert(0, os.path.join(os.environ["ZSTD_TPU_REPO"], "tests"))
 def hb(msg):
     print(f"[hb] {msg}", file=sys.stderr, flush=True)
 
@@ -36,32 +37,12 @@ hb(f"devices {jax.devices()}")
 import numpy as np
 from zstd_tpu import pipeline
 
-def make_corpus(total):
-    rng = np.random.default_rng(42)
-    words = [b"the", b"of", b"and", b"compression", b"entropy", b"state",
-             b"block", b"sequence", b"window", b"offset", b"literal",
-             b"frame", b"huffman", b"table", b"stream", b"kernel"]
-    chunks = []
-    text = bytearray()
-    while len(text) < total // 3:
-        text += words[rng.integers(len(words))] + b" "
-        if rng.random() < 0.04:
-            text += b"\n"
-    chunks.append(bytes(text[: total // 3]))
-    rec = bytearray()
-    base = rng.integers(0, 256, 64, dtype=np.uint8)
-    while len(rec) < total // 3:
-        b = base.copy()
-        b[rng.integers(0, 64, 4)] = rng.integers(0, 256, 4, dtype=np.uint8)
-        rec += b.tobytes()
-    chunks.append(bytes(rec[: total // 3]))
-    rnd = rng.integers(0, 48, total - 2 * (total // 3), dtype=np.uint8)
-    chunks.append(rnd.tobytes())
-    return b"".join(chunks)
-
+# corpus of record: the pinned silesia-analog mix (tests/bigcorpus.py) so
+# the ratio here is comparable with the ratio-parity sweep in PARITY.md
+from bigcorpus import big_corpus
 total = int(os.environ.get("BENCH_MB", "16")) * 1024 * 1024
-data = make_corpus(total)
-hb(f"corpus {total>>20} MiB")
+data = big_corpus(total)
+hb(f"corpus {total>>20} MiB (pinned bigcorpus)")
 
 comp = pipeline.TpuCompressor(level=1, checksum=False, batch_blocks=int(os.environ.get("BENCH_BATCH", "8")))
 blob = comp.compress(data[: 1024 * 1024])   # compile + warm
@@ -91,6 +72,42 @@ assert out == data, "decode round-trip failed"
 dec_mbps = total / t_dec / 1e6
 hb(f"decode: {dec_mbps:.1f} MB/s")
 
+# device decode: 1 MiB frames through the device literal/exec kernels.
+# Two numbers: e2e (includes the d2h fetch of the output — physically
+# capped by the ~20 MB/s tunnel) and device-resident (output stays on
+# device, the production shape for feeding a device input pipeline).
+dev_e2e = dev_res = 0.0
+if os.environ.get("BENCH_DEVDEC", "1") == "1":
+    try:
+        import zstd_tpu
+        from zstd_tpu.device_decoder import (device_decompress,
+                                             device_decompress_resident)
+        nf = min(total, 8 * 1024 * 1024) // (1 << 20)
+        frames = [zstd_tpu.compress(data[i << 20 : (i + 1) << 20], level=3,
+                                    checksum=False) for i in range(nf)]
+        dblob = b"".join(frames)
+        hb(f"devdec: {nf} x 1MiB frames, {len(dblob)} B")
+        out = device_decompress(dblob)          # compile + warm
+        assert out == data[: nf << 20], "device decode mismatch"
+        t = float("inf")
+        for r in range(2):
+            t0 = time.time()
+            device_decompress(dblob)
+            t = min(t, time.time() - t0)
+        dev_e2e = (nf << 20) / t / 1e6
+        hb(f"devdec e2e: {dev_e2e:.1f} MB/s")
+        # resident: per-frame, fetch only the ok scalar
+        t = float("inf")
+        for r in range(2):
+            t0 = time.time()
+            oks = [device_decompress_resident(f)[2] for f in frames]
+            assert all(bool(o) for o in oks)
+            t = min(t, time.time() - t0)
+        dev_res = (nf << 20) / t / 1e6
+        hb(f"devdec resident: {dev_res:.1f} MB/s")
+    except Exception as e:
+        hb(f"devdec failed: {type(e).__name__}: {e}")
+
 baseline_mbps = 510.0
 print(json.dumps({
     "metric": "encode_throughput_level1",
@@ -100,6 +117,8 @@ print(json.dumps({
     "ratio": round(ratio, 3),
     "decode_mbps": round(dec_mbps, 1),
     "decode_vs_baseline": round(dec_mbps / 1580.0, 4),
+    "device_decode_mbps": round(dev_e2e, 1),
+    "device_decode_resident_mbps": round(dev_res, 1),
 }))
 '''
 

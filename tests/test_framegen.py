@@ -80,3 +80,43 @@ def test_estimate_sizes_monotone():
     assert all(s > 1 << 16 for s in sizes)
     assert estimate_dctx_size() > 0
     assert estimate_cctx_size(1, 1 << 10) <= estimate_cctx_size(1, 1 << 24)
+
+
+def test_device_path_rejects_corruption():
+    """Device-decoder leg of the mutation matrix (cheap targeted form):
+    valid frames decode identically; truncations raise typed errors; and a
+    frame whose window is smaller than its match offsets must raise — the
+    device path may never clamp a bad offset into silently-wrong bytes
+    (host mirror: 'offset beyond window')."""
+    import zstd_tpu
+    from zstd_tpu.device_decoder import device_decompress
+    from zstd_tpu.errors import ZstdError
+    frame, expected = gen_frame(6001)
+    assert device_decompress(frame, window_log_max=31) == expected
+    for m in (frame[: len(frame) // 2], frame[:-1], frame[:7]):
+        try:
+            out = device_decompress(m, window_log_max=31)
+            assert isinstance(out, bytes)
+        except ZstdError:
+            pass
+
+    # offsets beyond the declared window: compress repetitive data with a
+    # 128 KB window (matches at 4 KB offsets), then shrink the window
+    # descriptor to 1 KB. Host decoder rejects this; device must too.
+    pat = np.random.default_rng(3).integers(
+        0, 256, 4096, dtype=np.uint8).tobytes()        # 4 KB period
+    data = pat * 64                                    # 256 KB
+    blob = bytearray(zstd_tpu.compress(data, level=1, checksum=False,
+                                       window_log=17))
+    assert not (blob[4] >> 5) & 1, "need a window-descriptor frame"
+    blob[5] = 0                                        # window -> 1 KB
+    try:
+        out = device_decompress(bytes(blob), window_log_max=31)
+        raise AssertionError("out-of-window offset accepted")
+    except ZstdError:
+        pass
+    try:
+        zstd_tpu.decompress(bytes(blob), window_log_max=31)
+        raise AssertionError("host accepted out-of-window offset")
+    except ZstdError:
+        pass

@@ -21,6 +21,7 @@ decoder per frame.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -67,15 +68,22 @@ def _huf_batch(stream_bytes, start_bits, n_syms, sym_luts, len_luts):
                               _STREAM_CAP)
 
 
+class _DeviceUnsupported(Exception):
+    """Block shape the device kernels cannot take; frame falls back to the
+    host decoder (module contract: never a user-facing error by itself)."""
+
+
 def _decode_literals_device(jobs: list[_LitJob]) -> dict[int, bytes]:
     """Batch all compressed-literal streams on device; returns per-block
-    literal bytes."""
+    literal bytes. All groups are dispatched asynchronously before any
+    result is fetched, so device Huffman decode overlaps host work."""
     out: dict[int, bytes] = {}
     lanes = []
     for j in jobs:
         for s_bytes, regen in j.streams:
             lanes.append((j, s_bytes, regen))
     res_parts: dict[int, list] = {j.block_idx: [] for j in jobs}
+    pending = []  # (chunk, device result, active mask) — fetched at the end
     for g in range(0, len(lanes), 4 * _GROUP):
         chunk = lanes[g : g + 4 * _GROUP]
         L = 4 * _GROUP  # fixed lane count: one compile for every group
@@ -85,7 +93,9 @@ def _decode_literals_device(jobs: list[_LitJob]) -> dict[int, bytes]:
         syl = np.zeros((L, 1 << MAX_TLOG), np.int32)
         lel = np.ones((L, 1 << MAX_TLOG), np.int32)
         for i, (j, s_bytes, regen) in enumerate(chunk):
-            if len(s_bytes) > _STREAM_CAP or len(s_bytes) == 0:
+            if len(s_bytes) > _STREAM_CAP:
+                raise _DeviceUnsupported("literal stream exceeds device cap")
+            if len(s_bytes) == 0:
                 raise Corruption("literal stream size out of range")
             sb[i, : len(s_bytes)] = np.frombuffer(s_bytes, np.uint8)
             last = s_bytes[-1]
@@ -95,9 +105,16 @@ def _decode_literals_device(jobs: list[_LitJob]) -> dict[int, bytes]:
             nsy[i] = regen
             syl[i] = j.sym_lut
             lel[i] = j.len_lut
-        syms = np.asarray(_huf_batch(
+        pending.append((chunk, _huf_batch(
             jnp.asarray(sb), jnp.asarray(bits), jnp.asarray(nsy),
-            jnp.asarray(syl), jnp.asarray(lel)))
+            jnp.asarray(syl), jnp.asarray(lel))))
+    for chunk, (dev_syms, dev_final) in pending:
+        final = np.asarray(dev_final)
+        # a well-formed backward stream ends exactly at bit 0; anything else
+        # means over-read (the device gather clamps rather than trapping)
+        if np.any(final[: len(chunk)] != 0):
+            raise Corruption("huffman stream over-read (device decode)")
+        syms = np.asarray(dev_syms)
         for i, (j, s_bytes, regen) in enumerate(chunk):
             res_parts[j.block_idx].append(syms[i, :regen].tobytes())
     for j in jobs:
@@ -111,6 +128,8 @@ def _parse_literals_section(payload: bytes, hst: litmod.HufDecodeState):
     kind: 'raw' | 'rle' | 'huf'."""
     # reuse the host parser for header/tree by decoding sizes only: call the
     # existing decoder for raw/rle, but intercept compressed modes
+    if not payload:
+        raise Corruption("empty block payload")
     b0 = payload[0]
     block_type = b0 & 3
     if block_type in (litmod.LBT_RAW, litmod.LBT_RLE):
@@ -177,7 +196,9 @@ def _parse_literals_section(payload: bytes, hst: litmod.HufDecodeState):
 
 
 def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
-    """Decode all frames with the device literal/exec kernels."""
+    """Decode all frames with the device literal/exec kernels. Frames whose
+    blocks exceed a device kernel limit fall back to the host decoder
+    per frame (module contract above)."""
     out = bytearray()
     pos = 0
     if len(data) == 0:
@@ -187,18 +208,58 @@ def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
             pos += 8 + size
             continue
-        content, pos = _device_decode_frame(data, pos, window_log_max)
+        try:
+            content, pos = _device_decode_frame(data, pos, window_log_max)
+        except _DeviceUnsupported:
+            from .format.frame import decompress_frame
+            content, pos = decompress_frame(data, pos, window_log_max)
         out += content
     return bytes(out)
 
 
-def _device_decode_frame(data: bytes, pos: int, window_log_max: int
-                         ) -> tuple[bytes, int]:
+@functools.partial(jax.jit, static_argnames=("n",))
+def _exec_jit(lits_j, n_lit, lls_j, mls_j, off_j, n_seq, out_len, n,
+              hist, hist_len):
+    return exec_sequences(lits_j, n_lit, lls_j, mls_j, off_j, n_seq,
+                          out_len, n, hist, hist_len)
+
+
+def _bucket(n: int) -> int:
+    """Pad program sizes to coarse buckets so frames of different sizes
+    share compiled executables."""
+    b = 4096
+    while b < n:
+        b *= 2
+    return b
+
+
+def device_decompress_resident(data: bytes, window_log_max: int = 31):
+    """Decode one frame, leaving the output ON DEVICE (the production shape
+    for feeding decompressed bytes straight into a device input pipeline:
+    no d2h transfer, no host checksum). Returns (device uint8 array padded
+    to a size bucket, content_length, ok_scalar) — callers must check
+    `bool(ok_scalar)` after consuming. Multi-frame inputs take the first
+    frame only."""
+    if is_skippable(data, 0):
+        raise ZstdError(ZstdErrorCode.prefix_unknown, "skippable frame")
+    outj, ok, n, _end = _device_decode_frame(data, 0, window_log_max,
+                                             resident=True)
+    return outj, n, ok
+
+
+def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
+                         resident: bool = False):
     hdr = parse_frame_header(data[pos:], window_log_max)
     p = pos + hdr.header_size
     hst = litmod.HufDecodeState()
     fst = sq.FseDecodeState()
     reps = (1, 4, 8)
+    # sequence sections decode in C when the native library is present
+    # (FSE chain + repcode resolution are byte-serial: native/decode.c
+    # zt_decode_sequences); the Python mirror remains the fallback
+    from .native import get_native
+    nat = get_native()
+    nctx = nat.dctx_new() if nat is not None else None
 
     blocks = []        # (content_len, lits_bytes|None, lit_job, seqs|None)
     jobs: list[_LitJob] = []
@@ -207,57 +268,73 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int
     total_len = 0
     bi = 0
     last = False
-    while not last:
-        bh = int.from_bytes(data[p : p + 3], "little")
-        last = bool(bh & 1)
-        btype = (bh >> 1) & 3
-        bsize = bh >> 3
-        p += 3
-        if btype == BT_RAW:
-            raw = data[p : p + bsize]
-            p += bsize
-            lit_order.append(raw)
-            seq_lists.append(None)
-            total_len += bsize
-        elif btype == BT_RLE:
-            lit_order.append(data[p : p + 1] * bsize)
-            seq_lists.append(None)
-            p += 1
-            total_len += bsize
-        elif btype == BT_COMPRESSED:
-            payload = data[p : p + bsize]
-            p += bsize
-            kind, lit, spec, regen, used, hst = _parse_literals_section(
-                payload, hst)
-            if kind == "huf":
-                streams, sym_lut, len_lut = spec
-                job = _LitJob(bi, streams, sym_lut, len_lut)
-                jobs.append(job)
-                lit_order.append(("dev", bi))
-            else:
-                lit_order.append(lit)
-            nb, fst, c2 = sq.parse_sequences_section(payload[used:], fst)
-            if nb:
-                lls, obs, mls = sq.decode_sequences(payload[used + c2 :],
-                                                    nb, fst)
-                offs = np.zeros(nb, np.int64)
-                r = reps
-                for i in range(nb):
-                    d = resolve_offset(r, int(obs[i]), int(lls[i]))
-                    offs[i] = d
-                    r = update_reps(r, int(obs[i]), int(lls[i]))
-                reps = r
-                span = int(lls.sum() + mls.sum())
-                seq_lists.append((lls.astype(np.int64),
-                                  mls.astype(np.int64), offs, regen))
-                total_len += span + (regen - int(lls.sum()))
-            else:
+    try:
+        while not last:
+            if p + 3 > len(data):
+                raise ZstdError(ZstdErrorCode.srcSize_wrong,
+                                "truncated block header")
+            bh = int.from_bytes(data[p : p + 3], "little")
+            last = bool(bh & 1)
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            p += 3
+            if btype == BT_RAW:
+                raw = data[p : p + bsize]
+                p += bsize
+                lit_order.append(raw)
                 seq_lists.append(None)
-                total_len += regen
-        else:
-            raise Corruption("reserved block type")
-        bi += 1
+                total_len += bsize
+            elif btype == BT_RLE:
+                lit_order.append(data[p : p + 1] * bsize)
+                seq_lists.append(None)
+                p += 1
+                total_len += bsize
+            elif btype == BT_COMPRESSED:
+                payload = data[p : p + bsize]
+                p += bsize
+                kind, lit, spec, regen, used, hst = _parse_literals_section(
+                    payload, hst)
+                if kind == "huf":
+                    streams, sym_lut, len_lut = spec
+                    job = _LitJob(bi, streams, sym_lut, len_lut)
+                    jobs.append(job)
+                    lit_order.append(("dev", bi))
+                else:
+                    lit_order.append(lit)
+                if nctx is not None:
+                    res = nat.decode_sequences(nctx, payload[used:])
+                    if res is None:
+                        raise Corruption("sequences section decode failed")
+                    lls, mls, offs = res
+                    nb = len(lls)
+                else:
+                    nb, fst, c2 = sq.parse_sequences_section(payload[used:], fst)
+                    if nb:
+                        lls, obs, mls = sq.decode_sequences(
+                            payload[used + c2 :], nb, fst)
+                        offs = np.zeros(nb, np.int64)
+                        r = reps
+                        for i in range(nb):
+                            d = resolve_offset(r, int(obs[i]), int(lls[i]))
+                            offs[i] = d
+                            r = update_reps(r, int(obs[i]), int(lls[i]))
+                        reps = r
+                if nb:
+                    span = int(lls.sum() + mls.sum())
+                    seq_lists.append((lls.astype(np.int64),
+                                      mls.astype(np.int64),
+                                      offs.astype(np.int64), regen))
+                    total_len += span + (regen - int(lls.sum()))
+                else:
+                    seq_lists.append(None)
+                    total_len += regen
+            else:
+                raise Corruption("reserved block type")
+            bi += 1
 
+    finally:
+        if nctx is not None:
+            nat.dctx_free(nctx)
     # device literal decode for all huf jobs
     dev_lits = _decode_literals_device(jobs) if jobs else {}
 
@@ -301,21 +378,36 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int
         ml = np.zeros(0, np.int64)
         off = np.zeros(0, np.int64)
 
+    # offset validation BEFORE exec: the device gather clamps out-of-window
+    # sources instead of trapping, so a corrupt frame would otherwise decode
+    # to silently-wrong bytes (host mirror: block.py 'offset beyond window')
+    if len(ml):
+        ends = np.cumsum(ll + ml)
+        match_start = ends - ml
+        win = hdr.window_size or (1 << 62)
+        bad = (ml > 0) & ((off > match_start) | (off > win))
+        if bool(bad.any()):
+            raise Corruption("offset beyond window (device decode)")
+
     # pad and run the frame-global executor; pure-literal gaps BETWEEN
     # sequence blocks must appear as extra literal runs: encode them by
     # inserting zero-match sequences is unnecessary — uncovered positions
     # consume the literal pool in order, which matches block order.
-    npad = int(n)
-    seq_cap = max(len(ll), 1)
+    # program sizes are bucketed so frames of different sizes share
+    # compiled executables.
+    npad = _bucket(int(n))
+    seq_cap = _bucket(max(len(ll), 1))
     lls_j = jnp.asarray(np.pad(ll, (0, seq_cap - len(ll))).astype(np.int32))
     mls_j = jnp.asarray(np.pad(ml, (0, seq_cap - len(ml))).astype(np.int32))
     off_j = jnp.asarray(np.pad(off, (0, seq_cap - len(off))).astype(np.int32))
     lits_j = jnp.asarray(np.pad(
-        lits_all, (0, max(npad - len(lits_all), 1))))
-    outj, ok = jax.jit(exec_sequences, static_argnames=("n",))(
+        lits_all, (0, npad - len(lits_all))))
+    outj, ok = _exec_jit(
         lits_j, jnp.int32(len(lits_all)), lls_j, mls_j, off_j,
         jnp.int32(len(ll)), jnp.int32(n), int(npad),
         jnp.zeros(1, jnp.uint8), jnp.int32(0))
+    if resident:
+        return outj, ok, int(n), p
     if not bool(ok):
         raise Corruption("device exec: dependency depth exceeded")
     content = np.asarray(outj)[:n].tobytes()

@@ -115,7 +115,7 @@ class _Native:
         C). Returns (ll, ml, off_abs) int32 arrays or None on error."""
         import ctypes as ct
         import numpy as np
-        cap = len(payload) * 2 + 16
+        cap = 0x7F00 + 0xFFFF + 16   # spec max nbSeq (RLE tables: 0 bits/seq)
         ll = np.empty(cap, dtype=np.int32)
         ml = np.empty(cap, dtype=np.int32)
         off = np.empty(cap, dtype=np.int32)

@@ -65,22 +65,26 @@ def huf_decode_streams(wins: jax.Array, start_bits: jax.Array,
     start_bits:i32[L]     initial bit position (useful bits in the stream)
     n_syms:    i32[L]     symbols to decode per lane
     sym_lut:   i32[L, 2048], len_lut: i32[L, 2048]  per-lane decode LUT
-    Returns uint8[L, max_syms] decoded symbols (garbage past n_syms).
+    Returns (uint8[L, max_syms] decoded symbols (garbage past n_syms),
+    i32[L] final bit position — exactly 0 for a well-formed stream; a
+    negative value means the stream under-ran (corruption the caller must
+    surface, since the window gather itself clamps instead of trapping).
     """
 
     def step(carry, i):
         pos = carry
         idx = jnp.take_along_axis(
-            wins, jnp.maximum(pos, 0)[:, None], axis=1)[:, 0].astype(jnp.int32)
+            wins, jnp.clip(pos, 0, wins.shape[1] - 1)[:, None],
+            axis=1)[:, 0].astype(jnp.int32)
         sym = jnp.take_along_axis(sym_lut, idx[:, None], axis=1)[:, 0]
         ln = jnp.take_along_axis(len_lut, idx[:, None], axis=1)[:, 0]
         active = i < n_syms
         pos = jnp.where(active, pos - ln, pos)
         return pos, sym.astype(jnp.uint8)
 
-    _, syms = jax.lax.scan(step, start_bits,
-                           jnp.arange(max_syms, dtype=jnp.int32))
-    return syms.T  # [L, max_syms]
+    final_pos, syms = jax.lax.scan(step, start_bits,
+                                   jnp.arange(max_syms, dtype=jnp.int32))
+    return syms.T, final_pos  # [L, max_syms], [L]
 
 
 def exec_sequences(lits: jax.Array, nb_lit, ll: jax.Array, ml: jax.Array,
