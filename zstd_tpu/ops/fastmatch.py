@@ -34,6 +34,11 @@ import os as _os
 _ECON_FILTER = _os.environ.get("ZSTD_TPU_NOECON", "") == ""
 MIN_EMIT = 4
 CAP_MLEN = 19
+# contiguous 3-byte verify passes in _capped_mlen: (4, 7, 10, 13, 16) gives
+# {4..19} quantization; the shorter default trades cap for 3 fewer gathers
+MLEN_PASSES = tuple(
+    int(x) for x in _os.environ.get("ZSTD_TPU_MLEN_PASSES",
+                                    "4,7,10").split(","))
 RESOLVE_CHUNK = 512
 RESOLVE_STEPS = 160
 TABLE_CHUNK = 2048
@@ -117,11 +122,14 @@ def _capped_mlen(tri, b3, cand, valid_len, emit_from):
     run = jnp.where(has & (tri_c == tri) & (b3_c == b3), 4, 0) \
         .astype(jnp.int32)
     still = run > 0
-    for k in (4, 7, 10, 13, 16):
+    # each in-loop pass is one full-density gather (~8 ms/MB on the
+    # measured chip); MLEN_PASSES trades quantization granularity for
+    # gather count — the post-merge exact extension recovers the tail
+    for k in MLEN_PASSES:
         eq = tri[jnp.minimum(c + k, n - 1)] == \
             jnp.concatenate([tri[k:], jnp.zeros(k, jnp.float32)])
         still = still & eq
-        run = run + jnp.where(still, 3, 0)
+        run = run + jnp.where(still, jnp.int32(3), 0)
     mlen = run
     # economics: a short match at a far offset costs more bits than its
     # literals (the reference's level-1 7-byte hash implicitly enforces

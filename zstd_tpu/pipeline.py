@@ -23,9 +23,11 @@ host planning and link transfers.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import functools
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -49,6 +51,26 @@ from .ops.huffman_enc import huf_pack_4x_block
 from .ops.codes import seq_codes_block
 
 enable_compile_cache()
+
+# ZSTD_TPU_PIPETIME=1: accumulate wall time per pipeline phase (printed by
+# tools/tpu_microbench.py); overhead-free when disabled
+_PIPETIME = os.environ.get("ZSTD_TPU_PIPETIME", "") == "1"
+PHASE_TIMES: dict = collections.defaultdict(float)
+
+
+class _phase:
+    __slots__ = ("name", "t0")
+
+    def __init__(self, name):
+        self.name = name
+
+    def __enter__(self):
+        if _PIPETIME:
+            self.t0 = time.time()
+
+    def __exit__(self, *a):
+        if _PIPETIME:
+            PHASE_TIMES[self.name] += time.time() - self.t0
 
 
 @functools.cache
@@ -136,16 +158,38 @@ def _bytes_of_words(words, nbytes_valid, out_len):
     return raw[:out_len]
 
 
+# host plan for program B travels as ONE i32 array per block (one h2d call
+# per batch instead of eight); offsets into the blob:
+_PB_ST = 0
+_PB_DN = _PB_ST + 3 * STATE_TABLE_PAD
+_PB_DF = _PB_DN + 3 * SYM_PAD
+_PB_TL = _PB_DF + 3 * SYM_PAD
+_PB_NBL = _PB_TL + 3
+_PB_VAL = _PB_NBL + 256
+_PB_SINGLE = _PB_VAL + 256
+_PB_LITRAW = _PB_SINGLE + 1
+_PB_HUFUSED = _PB_LITRAW + 1
+_PB_BLEN = _PB_HUFUSED + 1
+PLAN_LEN = _PB_BLEN + 1
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cap", "out_w_fse", "seg_cap", "out_w_huf"))
 def _pack_impl(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits, nb_lits,
-               nb_luts, val_luts, sts, dns, dfs, tls, singles,
-               lit_raw_needed,
+               plan_blob,
                cap, out_w_fse, seg_cap, out_w_huf):
     n_lit_region = lits.shape[1]
 
     def per_block(llc_, mlc_, ofc_, llx_, mlb_, ob_, nb_seq, lit_row, nb_lit,
-                  nb_lut, val_lut, st, dn, df, tl, single, lit_raw):
+                  pb):
+        st = pb[_PB_ST:_PB_DN].reshape(3, STATE_TABLE_PAD)
+        dn = pb[_PB_DN:_PB_DF].reshape(3, SYM_PAD)
+        df = pb[_PB_DF:_PB_TL].reshape(3, SYM_PAD)
+        tl = pb[_PB_TL:_PB_NBL]
+        nb_lut = pb[_PB_NBL:_PB_VAL]
+        val_lut = pb[_PB_VAL:_PB_SINGLE]
+        single = pb[_PB_SINGLE] > 0
+        lit_raw = pb[_PB_LITRAW] > 0
         fse_words, fse_bits, _ = fse_pack_block(
             llc_[:cap], mlc_[:cap], ofc_[:cap], llx_[:cap], mlb_[:cap],
             ob_[:cap], jnp.minimum(nb_seq, cap), st, dn, df, tl,
@@ -171,9 +215,59 @@ def _pack_impl(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits, nb_lits,
             overflow.astype(jnp.int32).reshape(1)])
         return out, sizes, raw_lits
 
-    return jax.vmap(per_block)(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits,
-                               nb_lits, nb_luts, val_luts, sts, dns, dfs,
-                               tls, singles, lit_raw_needed)
+    out, sizes, raw_lits = jax.vmap(per_block)(
+        llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits, nb_lits, plan_blob)
+
+    # ---- device-side compaction: the padded per-block regions above are
+    # ~1.7 MB per 1 MB batch, and the tunnel d2h is the pipeline's scarcest
+    # resource — so valid bytes are packed tight ON DEVICE and the host
+    # fetches only a prefix of this buffer. Piece order per block:
+    # [fse, huf0..huf3, raw_lits]; a zero-size (gated) piece writes its
+    # window at the same start as its successor, which overwrites it.
+    B = out.shape[0]
+    Wf = out_w_fse * 4
+    Wh = out_w_huf * 4
+    L = n_lit_region
+    singles_v = plan_blob[:, _PB_SINGLE] > 0
+    lit_raw_v = plan_blob[:, _PB_LITRAW] > 0
+    huf_used_v = plan_blob[:, _PB_HUFUSED] > 0
+    blens_v = plan_blob[:, _PB_BLEN]
+    overflow_v = sizes[:, 5] > 0
+    fse_sz = jnp.where(nb_seqs > 0, sizes[:, 0], 0)
+    s_idx = jnp.arange(4, dtype=jnp.int32)[None, :]
+    huf_gate = huf_used_v[:, None] & ((s_idx == 0) | ~singles_v[:, None])
+    huf_sz = jnp.where(huf_gate, sizes[:, 1:5], 0)
+    raw_sz = jnp.where(lit_raw_v, nb_lits, 0)
+    # pre-gate blocks that cannot compress: host stores them raw/RLE and
+    # their stream bytes never cross the link
+    est = fse_sz + huf_sz.sum(axis=1) + raw_sz + 16
+    zeroed = overflow_v | (est >= blens_v)
+    g = (~zeroed).astype(jnp.int32)
+    piece_sz = jnp.concatenate(
+        [(fse_sz * g)[:, None], huf_sz * g[:, None], (raw_sz * g)[:, None]],
+        axis=1)                                   # [B, 6]
+    flat_sz = piece_sz.reshape(-1)
+    dst = jnp.cumsum(flat_sz) - flat_sz           # exclusive starts
+    capp = B * (Wf + 4 * Wh + L) + max(Wf, Wh, L) + 8
+    buf = jnp.zeros(capp, jnp.uint8)
+    pi = 0
+    for j in range(B):
+        windows = [out[j, 0:Wf]]
+        for s in range(4):
+            windows.append(out[j, Wf + s * Wh : Wf + (s + 1) * Wh])
+        windows.append(raw_lits[j])
+        for w in windows:
+            buf = jax.lax.dynamic_update_slice(buf, w, (dst[pi],))
+            pi += 1
+    sizes2 = jnp.concatenate([sizes, zeroed.astype(jnp.int32)[:, None]],
+                             axis=1)              # [B, 7]
+    return buf, sizes2
+
+
+@functools.lru_cache(maxsize=64)
+def _prefix_fetcher(nbytes: int):
+    """Tiny cached program: fetch the first nbytes of the compact buffer."""
+    return jax.jit(lambda x: jax.lax.dynamic_slice(x, (0,), (nbytes,)))
 
 
 def _pad_ct(ct) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
@@ -269,35 +363,46 @@ class TpuCompressor:
         stageA: dict[int, tuple] = {}
         stageB: dict[int, tuple] = {}
         payloads: list[tuple[bytes, int, int]] = []
+        # d2h transfers run on a worker thread so the link overlaps device
+        # compute and host planning (the tunnel serializes the MAIN thread's
+        # blocking fetches otherwise — measured 1.2 s of an 8 MB run)
+        import concurrent.futures
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
 
         def dispatchA(k):
-            bs, be = batches[k]
-            bsz = be - bs
-            blocks = np.zeros((bsz, block_size), dtype=np.uint8)
-            lens = np.zeros(bsz, dtype=np.int32)
-            for j, bi in enumerate(range(bs, be)):
-                s = bi * block_size
-                e = min(s + block_size, n)
-                blocks[j, : e - s] = arr[s:e]
-                lens[j] = e - s
-            stats, resident = _analyze_jit(
-                jnp.asarray(blocks), jnp.asarray(lens),
-                cparams.hash_log, min(max(cparams.min_match, 4), 8),
-                max(block_size // 8, 8), engine=_engine_kind())
-            stageA[k] = (lens, stats, resident)
+            with _phase("A:prep+h2d+dispatch"):
+                bs, be = batches[k]
+                bsz = be - bs
+                blocks = np.zeros((bsz, block_size), dtype=np.uint8)
+                lens = np.zeros(bsz, dtype=np.int32)
+                for j, bi in enumerate(range(bs, be)):
+                    s = bi * block_size
+                    e = min(s + block_size, n)
+                    blocks[j, : e - s] = arr[s:e]
+                    lens[j] = e - s
+                stats, resident = _analyze_jit(
+                    jnp.asarray(blocks), jnp.asarray(lens),
+                    cparams.hash_log, min(max(cparams.min_match, 4), 8),
+                    max(block_size // 8, 8), engine=_engine_kind())
+                stageA[k] = (lens, pool.submit(np.asarray, stats), resident)
 
-        for k in range(len(batches)):
-            dispatchA(k)
-            if k >= WINDOW - 1:
-                self._planB(k - WINDOW + 1, stageA, stageB, block_size, cparams)
-            if k >= WINDOW:
-                payloads += self._finalize(k - WINDOW, stageA, stageB, arr,
-                                           batches, block_size, cparams)
-        for k in range(max(len(batches) - WINDOW + 1, 0), len(batches)):
-            self._planB(k, stageA, stageB, block_size, cparams)
-        for k in range(max(len(batches) - WINDOW, 0), len(batches)):
-            payloads += self._finalize(k, stageA, stageB, arr, batches,
-                                       block_size, cparams)
+        try:
+            for k in range(len(batches)):
+                dispatchA(k)
+                if k >= WINDOW - 1:
+                    self._planB(k - WINDOW + 1, stageA, stageB, block_size,
+                                cparams, pool)
+                if k >= WINDOW:
+                    payloads += self._finalize(k - WINDOW, stageA, stageB,
+                                               arr, batches, block_size,
+                                               cparams)
+            for k in range(max(len(batches) - WINDOW + 1, 0), len(batches)):
+                self._planB(k, stageA, stageB, block_size, cparams, pool)
+            for k in range(max(len(batches) - WINDOW, 0), len(batches)):
+                payloads += self._finalize(k, stageA, stageB, arr, batches,
+                                           block_size, cparams)
+        finally:
+            pool.shutdown(wait=False)
 
         for i, (payload, btype, blen) in enumerate(payloads):
             last = i == len(payloads) - 1
@@ -312,23 +417,28 @@ class TpuCompressor:
         return bytes(out)
 
     # ------------------------------------------------------------------
-    def _planB(self, k, stageA, stageB, block_size, cparams: CParams):
-        lens, stats_d, resident = stageA[k]
-        stats = np.asarray(stats_d)  # single small d2h
+    def _planB(self, k, stageA, stageB, block_size, cparams: CParams, pool):
+        lens, stats_fut, resident = stageA[k]
+        with _phase("B:stats-fetch"):
+            stats = stats_fut.result()   # small d2h, pulled by the worker
         bsz = stats.shape[0]
         strategy = cparams.strategy
 
         plans = []
         max_seq = 1
-        sts = np.zeros((bsz, 3, STATE_TABLE_PAD), dtype=np.int32)
-        dns = np.zeros((bsz, 3, SYM_PAD), dtype=np.int32)
-        dfs = np.zeros((bsz, 3, SYM_PAD), dtype=np.int32)
-        tls = np.zeros((bsz, 3), dtype=np.int32)
-        nb_luts = np.zeros((bsz, 256), dtype=np.int32)
-        val_luts = np.zeros((bsz, 256), dtype=np.int32)
-        singles = np.zeros(bsz, dtype=bool)
-        lit_raw = np.zeros(bsz, dtype=bool)
+        blob = np.zeros((bsz, PLAN_LEN), dtype=np.int32)
+        sts = blob[:, _PB_ST:_PB_DN].reshape(bsz, 3, STATE_TABLE_PAD)
+        dns = blob[:, _PB_DN:_PB_DF].reshape(bsz, 3, SYM_PAD)
+        dfs = blob[:, _PB_DF:_PB_TL].reshape(bsz, 3, SYM_PAD)
+        tls = blob[:, _PB_TL:_PB_NBL]
+        nb_luts = blob[:, _PB_NBL:_PB_VAL]
+        val_luts = blob[:, _PB_VAL:_PB_SINGLE]
+        singles = blob[:, _PB_SINGLE]
+        lit_raw = blob[:, _PB_LITRAW]
+        huf_used = blob[:, _PB_HUFUSED]
+        blens_col = blob[:, _PB_BLEN]
 
+        _t_plan = time.time() if _PIPETIME else 0
         for j in range(bsz):
             row = stats[j]
             lit_hist4 = row[:1024].reshape(4, 256).astype(np.int64)
@@ -363,8 +473,10 @@ class TpuCompressor:
                 nb_luts[j] = lp.ct.nb_bits
                 val_luts[j] = lp.ct.value
                 singles[j] = lp.single
+                huf_used[j] = 1
             elif lp.kind == "raw":
                 lit_raw[j] = True
+            blens_col[j] = blen
             plans.append(dict(blen=blen, nb_seq=nb_seq, nb_lit=nb_lit,
                               seq_header=seq_header, last_count=last_count,
                               lit_plan=lp, all_same=all_same,
@@ -377,32 +489,63 @@ class TpuCompressor:
         out_w_fse = (cap * 24) // 32 + 16
         seg_cap = (block_size + 3) // 4
         out_w_huf = (seg_cap * 10) // 32 + 4
+        if _PIPETIME:
+            PHASE_TIMES["B:host-plan"] += time.time() - _t_plan
         r = resident
-        outbuf, sizes, raw_lits = _pack_impl(
-            r["llc"], r["mlc"], r["ofc"], r["llx"], r["mlb"], r["ob"],
-            r["nb_seq"], r["lits"], r["nb_lit"],
-            jnp.asarray(nb_luts), jnp.asarray(val_luts),
-            jnp.asarray(sts), jnp.asarray(dns), jnp.asarray(dfs),
-            jnp.asarray(tls), jnp.asarray(singles), jnp.asarray(lit_raw),
-            cap, out_w_fse, seg_cap, out_w_huf)
-        stageB[k] = (plans, outbuf, sizes, raw_lits, out_w_fse, out_w_huf,
-                     bool(lit_raw.any()))
+        with _phase("B:tables-h2d+dispatch"):
+            compact, sizes = _pack_impl(
+                r["llc"], r["mlc"], r["ofc"], r["llx"], r["mlb"], r["ob"],
+                r["nb_seq"], r["lits"], r["nb_lit"],
+                jnp.asarray(blob),
+                cap, out_w_fse, seg_cap, out_w_huf)
+        stageB[k] = (plans,
+                     pool.submit(self._fetch_regions, plans, compact, sizes))
         del stageA[k]
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _fetch_regions(plans, compact_d, sizes_d):
+        """Worker-thread half of finalize: pull sizes, mirror the device
+        piece gating into offsets, fetch the tight compact-buffer prefix."""
+        sizes = np.asarray(sizes_d)   # [B, 7], tiny
+        metas = []
+        off = 0
+        for j, p in enumerate(plans):
+            lp = p["lit_plan"]
+            zeroed = bool(sizes[j, 6])
+            fse_sz = int(sizes[j, 0]) if (p["nb_seq"] and not zeroed) else 0
+            hs = []
+            for t in range(4):
+                used = (lp.kind == "huf") and (t == 0 or not lp.single) \
+                    and not zeroed
+                hs.append(int(sizes[j, 1 + t]) if used else 0)
+            raw_sz = p["nb_lit"] if (lp.kind == "raw" and not zeroed) else 0
+            entry = dict(fse=(off, fse_sz), zeroed=zeroed)
+            off += fse_sz
+            hofs = []
+            for t in range(4):
+                hofs.append((off, hs[t]))
+                off += hs[t]
+            entry["huf"] = hofs
+            entry["raw"] = (off, raw_sz)
+            off += raw_sz
+            metas.append(entry)
+        total = off
+        step = 128 * 1024
+        nb = min(max(-(-total // step) * step, step),
+                 int(compact_d.shape[0]))
+        compact = np.asarray(_prefix_fetcher(nb)(compact_d))
+        return metas, compact
 
     # ------------------------------------------------------------------
     def _finalize(self, k, stageA, stageB, arr, batches, block_size,
                   cparams: CParams):
-        (plans, outbuf_d, sizes_d, raw_lits_d, out_w_fse, out_w_huf,
-         any_raw) = stageB[k]
-        outbuf = np.asarray(outbuf_d)
-        raw_lits = np.asarray(raw_lits_d) if any_raw else None
-        sizes = np.asarray(sizes_d)
+        plans, fut = stageB[k]
+        with _phase("C:region-join"):
+            metas, compact = fut.result()
         bs, be = batches[k]
         strategy = cparams.strategy
-        n = len(arr)
         results = []
-        fse_off = 0
-        huf_off = out_w_fse * 4
 
         for j, p in enumerate(plans):
             blen = p["blen"]
@@ -412,25 +555,24 @@ class TpuCompressor:
             if blen < MIN_MATCH + 1 + 8:
                 results.append(raw)
                 continue
-            if int(sizes[j, 5]):
-                # bitpack K-window overflow (pathological zero-width-field
-                # density): store raw; never emit a possibly-wrong stream
+            m = metas[j]
+            if m["zeroed"]:
+                # stream-buffer overflow, or the device's size pre-gate says
+                # this block cannot beat raw: store raw/RLE, bytes never
+                # crossed the link
                 if p["all_same"] and blen > 1:
                     results.append((src[:1].tobytes(), BT_RLE, blen))
                 else:
                     results.append(raw)
                 continue
-            buf = outbuf[j]
             lp = p["lit_plan"]
             nb_lit = p["nb_lit"]
 
             if lp.kind == "huf":
-                off = huf_off
                 streams = []
                 for t in range(4):
-                    size = int(sizes[j, 1 + t])
-                    streams.append(buf[off : off + size].tobytes())
-                    off += out_w_huf * 4
+                    o, sz = m["huf"][t]
+                    streams.append(compact[o : o + sz].tobytes())
                 if lp.single:
                     payload_l = lp.tree_desc + streams[0]
                 else:
@@ -445,12 +587,13 @@ class TpuCompressor:
             elif lp.kind == "rle":
                 lit_section = _rle_lit_section(nb_lit, lp.first_byte)
             else:
-                lit_bytes = raw_lits[j, :nb_lit].tobytes()
-                lit_section = _raw_lit_header(nb_lit) + lit_bytes
+                o, sz = m["raw"]
+                lit_section = _raw_lit_header(nb_lit) + \
+                    compact[o : o + sz].tobytes()
 
             if p["nb_seq"]:
-                fse_nb = int(sizes[j, 0])
-                bitstream = buf[fse_off : fse_off + fse_nb].tobytes()
+                o, fse_nb = m["fse"]
+                bitstream = compact[o : o + fse_nb].tobytes()
                 if p["last_count"] and (p["last_count"] + fse_nb) < 4:
                     results.append(raw)
                     continue
