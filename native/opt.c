@@ -27,7 +27,7 @@
 #define PINF ((int64_t)1 << 60)
 #define SCALE 256            /* price unit: 1/256 bit */
 #define MAX_CAND 64          /* max distinct-length candidates per position */
-#define RELAX_CAP 96         /* relax all lengths up to this; plus the max */
+#define RELAX_CAP 128         /* relax all lengths up to this; plus the max */
 #define SEQ_BIAS 16          /* tiny per-sequence bias (1/16 bit) */
 
 /* ---- format code tables (RFC 8878 sequence codes) ---- */
@@ -144,6 +144,8 @@ typedef struct {
     int32_t* head;       /* [1<<hash_log] most recent position or -1 */
     int32_t* chain;      /* [n_total] prev same-bucket position or -1 */
     int32_t* head3;      /* [1<<HASH3_LOG] most recent 3-byte match or -1 */
+    int32_t* bt0;        /* [n_total] suffix-smaller child (bt mode) */
+    int32_t* bt1;        /* [n_total] suffix-larger child (bt mode) */
     int hash_log;
     int64_t base_pos;    /* chain index = pos - base_pos */
 } Chains;
@@ -212,6 +214,125 @@ static int find_matches(const Chains* C, const uint8_t* base, int64_t pos,
     return n;
 }
 
+/* ---- suffix-ordered binary-tree matchfinder (btultra2 levels) ----
+ *
+ * Role of the reference's deep search (zstd_opt.c:590
+ * ZSTD_insertBtAndGetAllMatches): every window position hangs in a binary
+ * tree ordered by suffix, rooted at its hash-4 bucket. One walk both
+ * inserts `pos` and visits candidates whose common prefix can only shrink
+ * along the path, so distant LONG matches are reached within a bounded
+ * node budget — the chain walk above is recency-ordered and exhausts its
+ * budget on near, short candidates (the measured +0.6% at 8 MB, level 19).
+ * Implementation is the classic suffix-BST formulation, written to this
+ * file's conventions. */
+
+#define BT_TMP 96
+
+/* limit_pos caps RECORDED match lengths (block end); data_end bounds the
+ * ORDERING comparisons. Ordering must be consistent across every insert
+ * that ever touches the tree — truncating comparisons at a per-call block
+ * end breaks the common-prefix-skip invariant once the tree persists
+ * across blocks (observed as overstated matches -> corrupt output). */
+static int bt_search_insert(Chains* C, const uint8_t* base, int64_t pos,
+                            int64_t window_low, int64_t limit_pos,
+                            int64_t data_end,
+                            int nodes, Match* out, int32_t prev3) {
+    uint32_t h = hash4(base + pos, C->hash_log);
+    int32_t cur = C->head[h];
+    C->head[h] = (int32_t)pos;
+    int32_t* p_sm = &C->bt0[pos - C->base_pos];
+    int32_t* p_lg = &C->bt1[pos - C->base_pos];
+    uint32_t len_sm = 0, len_lg = 0;
+    int64_t limit = limit_pos - pos;       /* recorded-length cap */
+    int64_t cmp_limit = data_end - pos;    /* ordering comparisons */
+    Match tmp[BT_TMP];
+    int nt = 0;
+    uint32_t best = MINMATCH - 1;
+    /* closest 3-byte-hash candidate seeds the list (the tree carries only
+       hash-4 buckets, so the very nearest short match can be absent) */
+    if (out && prev3 >= 0 && prev3 >= window_low && (int64_t)prev3 < pos) {
+        int64_t l3 = lcp(base + pos, base + prev3, limit);
+        if (l3 >= MINMATCH) {
+            tmp[nt].len = (uint32_t)l3;
+            tmp[nt].dist = (uint32_t)(pos - prev3);
+            nt++;
+            best = (uint32_t)l3;
+        }
+    }
+    while (cur >= 0 && cur >= window_low && (int64_t)cur < pos &&
+           nodes-- > 0) {
+        int64_t ci = cur - C->base_pos;
+        uint32_t l0 = len_sm < len_lg ? len_sm : len_lg;
+        int64_t l = l0 + lcp(base + pos + l0, base + cur + l0,
+                             cmp_limit - l0);
+        int64_t lrec = l < limit ? l : limit;
+        if (out && lrec >= MINMATCH) {
+            if (nt < BT_TMP - 1) {
+                tmp[nt].len = (uint32_t)lrec;
+                tmp[nt].dist = (uint32_t)(pos - cur);
+                nt++;
+            } else if ((uint32_t)lrec > best) {
+                tmp[nt].len = (uint32_t)lrec;
+                tmp[nt].dist = (uint32_t)(pos - cur);
+            }
+            if ((uint32_t)lrec > best) best = (uint32_t)lrec;
+        }
+        if (l >= cmp_limit) {
+            /* full-suffix match: adopt cur's subtrees and stop */
+            *p_sm = C->bt0[ci];
+            *p_lg = C->bt1[ci];
+            p_sm = p_lg = NULL;
+            break;
+        }
+        if (base[cur + l] < base[pos + l]) {
+            int32_t nxt = C->bt1[ci];
+            *p_sm = cur;
+            p_sm = &C->bt1[ci];
+            len_sm = (uint32_t)l;
+            cur = nxt;
+        } else {
+            int32_t nxt = C->bt0[ci];
+            *p_lg = cur;
+            p_lg = &C->bt0[ci];
+            len_lg = (uint32_t)l;
+            cur = nxt;
+        }
+    }
+    if (p_sm) *p_sm = -1;
+    if (p_lg) *p_lg = -1;
+    if (!out || nt == 0) return 0;
+
+    /* candidates arrive in tree order; the DP consumes an ascending
+       (length, min-distance-over-longer) staircase */
+    for (int a = 1; a < nt; a++) {           /* insertion sort by len */
+        Match key = tmp[a];
+        int b = a - 1;
+        while (b >= 0 && (tmp[b].len > key.len ||
+                          (tmp[b].len == key.len &&
+                           tmp[b].dist > key.dist))) {
+            tmp[b + 1] = tmp[b];
+            b--;
+        }
+        tmp[b + 1] = key;
+    }
+    uint32_t run_min[BT_TMP];
+    uint32_t mind = 0xFFFFFFFFu;
+    for (int a = nt - 1; a >= 0; a--) {
+        if (tmp[a].dist < mind) mind = tmp[a].dist;
+        run_min[a] = mind;
+    }
+    int n = 0;
+    uint32_t last_len = 0;
+    for (int a = 0; a < nt && n < MAX_CAND; a++) {
+        if (tmp[a].len <= last_len) continue;
+        out[n].len = tmp[a].len;
+        out[n].dist = run_min[a];
+        last_len = tmp[a].len;
+        n++;
+    }
+    return n;
+}
+
 /* ---- DP cells ---- */
 
 typedef struct {
@@ -260,14 +381,22 @@ static inline void relax(Cell* cells, int64_t i, uint32_t l, int64_t np,
 
 /* greedy statistics pass: longest-match commit, collects code histograms */
 static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
-                       int64_t window_low, const uint32_t* reps0,
-                       Chains* C, int attempts, Prices* P) {
+                       int64_t window_low, int64_t data_end,
+                       const uint32_t* reps0,
+                       Chains* C, int attempts, Prices* P, int use_bt) {
     uint32_t rep[3] = {reps0[0], reps0[1], reps0[2]};
     int64_t ip = bs, anchor = bs;
     Match m[MAX_CAND];
     while (ip + 8 < be) {
         int32_t prev3 = C->head3[hash3(base + ip)];
-        chains_insert(C, base, ip);
+        int nm_bt = 0;
+        if (use_bt) {
+            C->head3[hash3(base + ip)] = (int32_t)ip;
+            nm_bt = bt_search_insert(C, base, ip, window_low, be, data_end,
+                                     attempts, m, prev3);
+        } else {
+            chains_insert(C, base, ip);
+        }
         uint32_t bl = 0, bd = 0;
         for (int r = 0; r < 3; r++) {
             uint32_t d = rep[r];
@@ -278,8 +407,10 @@ static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
                 if ((uint32_t)l > bl) { bl = (uint32_t)l; bd = d; }
             }
         }
-        int nm = find_matches(C, base, ip, window_low, be, attempts,
-                              prev3, m);
+        int nm = use_bt ? nm_bt
+                        : find_matches(C, base, ip, window_low, be,
+                                       attempts, prev3, m);
+        (void)prev3;
         if (nm > 0 && m[nm - 1].len > bl + 1) {
             bl = m[nm - 1].len;
             bd = m[nm - 1].dist;
@@ -295,8 +426,15 @@ static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
             uint32_t nr[3]; rep_update(rep, ob, ll, nr);
             rep[0] = nr[0]; rep[1] = nr[1]; rep[2] = nr[2];
             int64_t end = ip + bl;
-            for (int64_t q = ip + 1; q < end && q + 4 <= be; q += 2)
-                chains_insert(C, base, q);
+            for (int64_t q = ip + 1; q < end && q + 4 <= be; q += 2) {
+                if (use_bt) {
+                    C->head3[hash3(base + q)] = (int32_t)q;
+                    bt_search_insert(C, base, q, window_low, be, data_end,
+                                     48, NULL, -1);
+                } else {
+                    chains_insert(C, base, q);
+                }
+            }
             ip = end; anchor = end;
         } else {
             ip++;
@@ -305,13 +443,124 @@ static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
     for (int64_t q = anchor; q < be; q++) { P->lit[base[q]]++; P->lit_tot++; }
 }
 
-int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
-                     int64_t block_start, int64_t block_end,
-                     uint32_t* reps,
-                     int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
-                     int64_t seq_cap,
-                     int hash_log, int search_log, int min_match,
-                     int target_len, int strategy) {
+/* ---- persistent match-finder context ----
+ * The matcher state (hash heads, chains / suffix-BST) persists across the
+ * blocks of one frame (role of the reference's ZSTD_matchState_t living in
+ * the CCtx): without it every block call re-inserted the whole window —
+ * O(window) per block, quadratic per frame, and ruinous for the BT walk. */
+typedef struct {
+    Chains C;
+    int64_t cap_total;      /* allocated chain/bt length */
+    int64_t ins_until;      /* first position not yet inserted */
+    int inited;
+    int use_bt;
+    int hash_log;
+    int32_t* head_snap;
+    int32_t* head3_snap;
+    int32_t* bt0_snap;
+    int32_t* bt1_snap;
+} OptCtx;
+
+void* zt_opt_ctx_new(void) { return calloc(1, sizeof(OptCtx)); }
+
+static void opt_ctx_release(OptCtx* x) {
+    free(x->C.head); free(x->C.chain); free(x->C.head3);
+    free(x->C.bt0); free(x->C.bt1);
+    free(x->head_snap); free(x->head3_snap);
+    free(x->bt0_snap); free(x->bt1_snap);
+    memset(x, 0, sizeof(*x));
+}
+
+void zt_opt_ctx_free(void* v) {
+    if (!v) return;
+    opt_ctx_release((OptCtx*)v);
+    free(v);
+}
+
+/* make the context valid with all positions [window_low, block_start)
+ * inserted (tail-gated at p+4 <= block_start); returns 0 ok / -1 oom */
+static int opt_ctx_ensure(OptCtx* x, const uint8_t* base, int64_t window_low,
+                          int64_t block_start, int64_t block_end,
+                          int64_t data_end, int hash_log, int use_bt) {
+    size_t head_bytes = sizeof(int32_t) << hash_log;
+    size_t head3_bytes = sizeof(int32_t) << HASH3_LOG;
+    int fresh = !x->inited || x->use_bt != use_bt ||
+                x->hash_log != hash_log || block_start < x->ins_until ||
+                window_low < x->C.base_pos;
+    /* bound array growth on huge inputs: restart from the live window */
+    if (!fresh && block_end - x->C.base_pos > (int64_t)1 << 26 &&
+        window_low > x->C.base_pos + ((int64_t)1 << 25))
+        fresh = 1;
+    if (fresh) {
+        opt_ctx_release(x);
+        x->hash_log = hash_log;
+        x->use_bt = use_bt;
+        x->C.hash_log = hash_log;
+        x->C.base_pos = window_low;
+        x->cap_total = (block_end - window_low) + (block_end - window_low) / 2
+                       + 4096;
+        x->C.head = malloc(head_bytes);
+        x->C.head3 = malloc(head3_bytes);
+        x->head_snap = malloc(head_bytes);
+        x->head3_snap = malloc(head3_bytes);
+        if (use_bt) {
+            x->C.bt0 = malloc(sizeof(int32_t) * (size_t)x->cap_total);
+            x->C.bt1 = malloc(sizeof(int32_t) * (size_t)x->cap_total);
+            x->bt0_snap = malloc(sizeof(int32_t) * (size_t)x->cap_total);
+            x->bt1_snap = malloc(sizeof(int32_t) * (size_t)x->cap_total);
+            if (!x->C.bt0 || !x->C.bt1 || !x->bt0_snap || !x->bt1_snap)
+                return -1;
+        } else {
+            x->C.chain = malloc(sizeof(int32_t) * (size_t)x->cap_total);
+            if (!x->C.chain) return -1;
+        }
+        if (!x->C.head || !x->C.head3 || !x->head_snap || !x->head3_snap)
+            return -1;
+        memset(x->C.head, -1, head_bytes);
+        memset(x->C.head3, -1, head3_bytes);
+        x->ins_until = window_low;
+        x->inited = 1;
+    } else if (block_end - x->C.base_pos > x->cap_total) {
+        int64_t ncap = (block_end - x->C.base_pos)
+                       + (block_end - x->C.base_pos) / 2 + 4096;
+        if (use_bt) {
+            int32_t* a = realloc(x->C.bt0, sizeof(int32_t) * (size_t)ncap);
+            int32_t* b = realloc(x->C.bt1, sizeof(int32_t) * (size_t)ncap);
+            int32_t* c = realloc(x->bt0_snap, sizeof(int32_t) * (size_t)ncap);
+            int32_t* d = realloc(x->bt1_snap, sizeof(int32_t) * (size_t)ncap);
+            if (!a || !b || !c || !d) return -1;
+            x->C.bt0 = a; x->C.bt1 = b; x->bt0_snap = c; x->bt1_snap = d;
+        } else {
+            int32_t* a = realloc(x->C.chain, sizeof(int32_t) * (size_t)ncap);
+            if (!a) return -1;
+            x->C.chain = a;
+        }
+        x->cap_total = ncap;
+    }
+    /* catch up: insert everything before the block */
+    if (use_bt) {
+        for (int64_t p = x->ins_until; p + 4 <= block_start; p++) {
+            x->C.head3[hash3(base + p)] = (int32_t)p;
+            bt_search_insert(&x->C, base, p, window_low, block_start,
+                             data_end, 64, NULL, -1);
+        }
+    } else {
+        for (int64_t p = x->ins_until; p + 4 <= block_start; p++)
+            chains_insert(&x->C, base, p);
+    }
+    if (block_start - 3 > x->ins_until) x->ins_until = block_start - 3;
+    return 0;
+}
+
+int64_t zt_opt_parse_ctx(void* vctx,
+                         const uint8_t* base, int64_t window_low,
+                         int64_t block_start, int64_t block_end,
+                         int64_t src_end,
+                         uint32_t* reps,
+                         int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
+                         int64_t seq_cap,
+                         int hash_log, int search_log, int min_match,
+                         int target_len, int strategy) {
     (void)min_match;
     int64_t n = block_end - block_start;
     if (n < 16) return 0;
@@ -320,54 +569,65 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
     /* deep chain walk: each attempt is one candidate visit; the dense walk
        substitutes for the reference's binary-tree search quality. btultra2
        rows (targetLength >= 256, levels 19+) walk deepest. */
-    int attempts = 1 << (search_log < 4 ? 4 : (search_log > 10 ? 10 : search_log));
+    int attempts = 1 << (search_log < 4 ? 4 : (search_log > 11 ? 11 : search_log));
     /* depth ladder: the same DP serves levels 3-22; lazy-class levels use a
        shallower walk (speed), btopt/btultra2 the deepest */
     int min_att = (strategy <= 3) ? 48
                 : (strategy <= 5) ? 96
-                : (target_len >= 256) ? 512 : 256;
+                : (target_len >= 256) ? 1024 : 256;
     if (attempts < min_att) attempts = min_att;
     if (strategy <= 5 && attempts > min_att) attempts = min_att;
 
-    int64_t n_total = block_end - window_low;
-    Chains C;
-    C.hash_log = hash_log;
-    C.base_pos = window_low;
+    /* btultra2 levels route through the suffix-BST matchfinder; the chain
+       walk serves everything below */
+    int use_bt = (strategy >= 9);
+
+    OptCtx* X = (OptCtx*)vctx;
+    if (src_end < block_end) src_end = block_end;
+    if (opt_ctx_ensure(X, base, window_low, block_start, block_end,
+                       src_end, hash_log, use_bt) < 0) return -1;
+    Chains C = X->C;   /* struct copy: pointers shared with the ctx */
     size_t head_bytes = sizeof(int32_t) << hash_log;
     size_t head3_bytes = sizeof(int32_t) << HASH3_LOG;
-    C.head = malloc(head_bytes);
-    C.chain = malloc(sizeof(int32_t) * (size_t)n_total);
-    C.head3 = malloc(head3_bytes);
-    int32_t* head_copy = malloc(head_bytes);
-    int32_t* head3_copy = malloc(head3_bytes);
+    int64_t prefix_n = block_start - C.base_pos;
+    int32_t* head_copy = X->head_snap;
+    int32_t* head3_copy = X->head3_snap;
+    int32_t* bt0_copy = X->bt0_snap;
+    int32_t* bt1_copy = X->bt1_snap;
     Cell* cells = malloc(sizeof(Cell) * (size_t)(n + 1));
     Match* m = malloc(sizeof(Match) * MAX_CAND);
     int64_t rc = -1;
-    if (!C.head || !C.chain || !C.head3 || !head_copy || !head3_copy ||
-        !cells || !m) goto done;
-    memset(C.head, -1, head_bytes);
-    memset(C.head3, -1, head3_bytes);
+    if (!cells || !m) goto done;
 
-    for (int64_t p = window_low; p + 4 <= block_start; p++)
-        chains_insert(&C, base, p);
+    /* snapshot the at-block-entry matcher state (iterations re-insert) */
     memcpy(head_copy, C.head, head_bytes);
     memcpy(head3_copy, C.head3, head3_bytes);
+    if (use_bt && prefix_n) {
+        memcpy(bt0_copy, C.bt0, sizeof(int32_t) * (size_t)prefix_n);
+        memcpy(bt1_copy, C.bt1, sizeof(int32_t) * (size_t)prefix_n);
+    }
 
     /* pass 1: statistics */
     Prices P;
     memset(&P, 0, sizeof(P));
-    stats_pass(base, block_start, block_end, window_low, reps, &C,
-               attempts > 64 ? 64 : attempts, &P);
+    stats_pass(base, block_start, block_end, window_low, src_end, reps, &C,
+               attempts > 64 ? 64 : attempts, &P, use_bt);
     prices_rebuild(&P);
 
     /* pass 2+: iterated DP (second iteration re-prices from the first
        iteration's own parse — the btultra2 self-seeding idea) */
     int n_iters = (n < 4096) ? 1
+                : (strategy >= 9) ? 5
                 : (strategy >= 8) ? 4
                 : (strategy >= 6) ? 3 : 2;
     for (int iter = 0; iter < n_iters; iter++) {
     memcpy(C.head, head_copy, head_bytes);   /* reset to prefix state */
     memcpy(C.head3, head3_copy, head3_bytes);
+    if (use_bt && prefix_n) {
+        /* prefix nodes may have hooked block positions last iteration */
+        memcpy(C.bt0, bt0_copy, sizeof(int32_t) * (size_t)prefix_n);
+        memcpy(C.bt1, bt1_copy, sizeof(int32_t) * (size_t)prefix_n);
+    }
 
     for (int64_t i = 0; i <= n; i++) { cells[i].price = PINF; cells[i].litrun = 0; }
     cells[0].price = 0;
@@ -379,9 +639,18 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
         Cell* c = &cells[i];
         int64_t pos = block_start + i;
         int32_t prev3 = -1;
+        int nm_bt = 0;
         if (pos + 4 <= block_end) {
             prev3 = C.head3[hash3(base + pos)];
-            chains_insert(&C, base, pos);
+            if (use_bt) {
+                C.head3[hash3(base + pos)] = (int32_t)pos;
+                nm_bt = bt_search_insert(
+                    &C, base, pos, window_low, block_end, src_end, attempts,
+                    (c->price < PINF && pos + 8 < block_end) ? m : NULL,
+                    prev3);
+            } else {
+                chains_insert(&C, base, pos);
+            }
         }
         if (c->price >= PINF) continue;
 
@@ -430,9 +699,11 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
                       ob, ll, c->rep);
         }
 
-        /* chain matches (len >= 3 via hash3, >= 4 via chains) */
-        int nm = find_matches(&C, base, pos, window_low, block_end,
-                              attempts, prev3, m);
+        /* matches: suffix-BST walk (btultra2) or hash-chain walk, plus the
+           len >= 3 probe via hash3 inside find_matches (chain mode) */
+        int nm = use_bt ? nm_bt
+                        : find_matches(&C, base, pos, window_low, block_end,
+                                       attempts, prev3, m);
         uint32_t from_len = MINMATCH;
         for (int k = 0; k < nm; k++) {
             uint32_t L = m[k].len;
@@ -482,6 +753,10 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
     }
     }  /* iter loop */
 
+    /* the final iteration left the block inserted (tail-gated): record it */
+    X->ins_until = (block_end - 3 > X->ins_until) ? block_end - 3
+                                                  : X->ins_until;
+
     /* backtrack */
     {
         int64_t nseq = 0, i = n;
@@ -509,7 +784,25 @@ int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
     }
 
 done:
-    free(C.head); free(C.chain); free(C.head3);
-    free(head_copy); free(head3_copy); free(cells); free(m);
+    free(cells); free(m);   /* matcher arrays live in the ctx */
+    return rc;
+}
+
+/* single-shot compatibility wrapper (tests / no-ctx callers) */
+int64_t zt_opt_parse(const uint8_t* base, int64_t window_low,
+                     int64_t block_start, int64_t block_end,
+                     uint32_t* reps,
+                     int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
+                     int64_t seq_cap,
+                     int hash_log, int search_log, int min_match,
+                     int target_len, int strategy) {
+    void* x = zt_opt_ctx_new();
+    if (!x) return -1;
+    int64_t rc = zt_opt_parse_ctx(x, base, window_low, block_start,
+                                  block_end, block_end, reps, ll_out,
+                                  ob_out, mb_out, seq_cap, hash_log,
+                                  search_log, min_match, target_len,
+                                  strategy);
+    zt_opt_ctx_free(x);
     return rc;
 }

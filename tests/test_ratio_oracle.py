@@ -56,3 +56,18 @@ def test_fast_negative_levels_beat_reference(ref, corpus1m):
         r = subprocess.run([REF_ZSTD, f"--fast={fast}", "-c"],
                            input=corpus1m, capture_output=True, check=True)
         assert len(ours) <= len(r.stdout)
+
+
+def test_level19_8mb_size_le_reference(ref):
+    """The former round-2 gap: at 8 MB, level 19's chain walk lost deep-
+    window matches to the reference's binary-tree search (+0.6%). The
+    suffix-BST matchfinder (native/opt.c bt_search_insert) + persistent
+    matcher context must keep us at or below the reference at full corpus
+    scale — gated here, not just reported (VERDICT r2 #4)."""
+    data = big_corpus(8 * 1024 * 1024)
+    ours = zstd_tpu.compress(data, level=19)
+    assert zstd_tpu.decompress(ours) == data
+    ref_sz = _ref_size(data, 19)
+    assert len(ours) <= ref_sz, (
+        f"level 19 @ 8MB: ours {len(ours)} > ref {ref_sz} "
+        f"(+{100 * (len(ours) / ref_sz - 1):.3f}%)")

@@ -36,6 +36,9 @@ class BlockCState:
     huf: HufEntropyState = dataclasses.field(default_factory=HufEntropyState)
     fse: FseEntropyState = dataclasses.field(default_factory=FseEntropyState)
     reps: tuple[int, int, int] = REPCODE_INIT
+    # persistent native match-finder context (hash heads / suffix-BST),
+    # carried across blocks so the window is never re-inserted per block
+    opt_ctx: object = None
 
 
 @dataclasses.dataclass
@@ -126,7 +129,7 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
             return bytes(src[:1]), 1, state
         return raw
 
-    nxt = BlockCState(next_huf, next_fse, new_reps)
+    nxt = BlockCState(next_huf, next_fse, new_reps, state.opt_ctx)
     return payload, 2, nxt
 
 
@@ -151,7 +154,8 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
         # Python lazy ladder when the native library is unavailable)
         from .opt import find_sequences_opt
         return find_sequences_opt(
-            full, block_start, block_end, window_low, state.reps, cparams)
+            full, block_start, block_end, window_low, state.reps, cparams,
+            state=state)
     return find_sequences(
         full, block_start, block_end, window_low, state.reps,
         hash_log=cparams.hash_log, mls=min(max(cparams.min_match, 4), 8))
@@ -202,7 +206,7 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
             return [(bytes(src[:1]), BT_RLE, n)], state
         return raw_piece, state
     whole = ([(whole_payload, BT_COMPRESSED, n)],
-             BlockCState(whole_huf, whole_fse, new_reps))
+             BlockCState(whole_huf, whole_fse, new_reps, state.opt_ctx))
 
     if n < 32768 and not target_cblock_size:
         return whole
@@ -225,14 +229,14 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         if len(payload) >= clen:
             return whole
         pieces.append((payload, BT_COMPRESSED, clen))
-        st = BlockCState(next_huf, next_fse, st.reps)
+        st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx)
         total += clen
     if (not target_cblock_size
             and sum(len(p) for p, _, _ in pieces) >= len(whole_payload)):
         # entropy-driven splitting must pay for itself; target-size
         # (superblock) splitting buys latency instead and keeps the split
         return whole
-    return pieces, BlockCState(st.huf, st.fse, new_reps)
+    return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx)
 
 
 def decompress_block(payload: bytes, out: bytearray, window_low: int,

@@ -16,16 +16,21 @@ from .sequences import SeqStore
 
 
 def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
-                       window_low: int, reps: tuple, cparams
-                       ) -> tuple[SeqStore, tuple]:
+                       window_low: int, reps: tuple, cparams,
+                       state=None) -> tuple[SeqStore, tuple]:
     nat = get_native()
     if nat is None:
         return find_sequences_lazy(full, block_start, block_end, window_low,
                                    reps, cparams)
+    ctx = None
+    if state is not None:
+        if state.opt_ctx is None:
+            state.opt_ctx = nat.opt_ctx()
+        ctx = state.opt_ctx
     res = nat.opt_parse(full, window_low, block_start, block_end, reps,
                         cparams.hash_log, cparams.search_log,
                         cparams.min_match, cparams.target_length,
-                        cparams.strategy)
+                        cparams.strategy, ctx=ctx)
     if res is None:
         return find_sequences_lazy(full, block_start, block_end, window_low,
                                    reps, cparams)

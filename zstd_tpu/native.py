@@ -44,6 +44,18 @@ class _Native:
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int]
+        lib.zt_opt_parse_ctx.restype = ctypes.c_int64
+        lib.zt_opt_parse_ctx.argtypes = [
+            ctypes.c_void_p,
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64,
+            u32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int]
+        lib.zt_opt_ctx_new.restype = ctypes.c_void_p
+        lib.zt_opt_ctx_new.argtypes = []
+        lib.zt_opt_ctx_free.restype = None
+        lib.zt_opt_ctx_free.argtypes = [ctypes.c_void_p]
         lib.zt_dctx_new.restype = ctypes.c_void_p
         lib.zt_dctx_free.argtypes = [ctypes.c_void_p]
         lib.zt_decompress_block.restype = ctypes.c_int64
@@ -128,12 +140,31 @@ class _Native:
             return None
         return ll[:n], ml[:n], off[:n]
 
+    def opt_ctx(self):
+        """Persistent match-finder context for one frame's blocks; freed on
+        garbage collection."""
+        lib = self._lib
+
+        class _OptCtx:
+            __slots__ = ("ptr",)
+
+            def __init__(self):
+                self.ptr = lib.zt_opt_ctx_new()
+
+            def __del__(self):
+                if self.ptr:
+                    lib.zt_opt_ctx_free(self.ptr)
+                    self.ptr = None
+
+        return _OptCtx()
+
     def opt_parse(self, full, window_low: int, block_start: int,
                   block_end: int, reps: tuple, hash_log: int,
                   search_log: int, min_match: int, target_len: int,
-                  strategy: int = 9):
+                  strategy: int = 9, ctx=None):
         """Optimal-parse one block. Returns (ll, ob, mb, new_reps) int32
-        arrays, or None if the native parser declined (fallback to lazy)."""
+        arrays, or None if the native parser declined (fallback to lazy).
+        `ctx` (from opt_ctx()) carries the matcher across blocks."""
         import numpy as np
         n = block_end - block_start
         seq_cap = n // 2 + 16
@@ -145,12 +176,18 @@ class _Native:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
-        nseq = self._lib.zt_opt_parse(
-            full.ctypes.data_as(u8p), window_low, block_start, block_end,
-            reps_arr.ctypes.data_as(u32p),
-            ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
-            mb.ctypes.data_as(i32p), seq_cap,
-            hash_log, search_log, min_match, target_len, strategy)
+        args = (full.ctypes.data_as(u8p), window_low, block_start, block_end,
+                reps_arr.ctypes.data_as(u32p),
+                ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
+                mb.ctypes.data_as(i32p), seq_cap,
+                hash_log, search_log, min_match, target_len, strategy)
+        if ctx is not None and ctx.ptr:
+            # src_end: ordering comparisons may read the whole buffer
+            nseq = self._lib.zt_opt_parse_ctx(
+                ctx.ptr, args[0], window_low, block_start, block_end,
+                len(full), *args[4:])
+        else:
+            nseq = self._lib.zt_opt_parse(*args)
         if nseq < 0:
             return None
         return (ll[:nseq], ob[:nseq], mb[:nseq],

@@ -173,12 +173,17 @@ def compress_sharded(data: bytes, level: int = 1, checksum: bool = False,
 
     # host: entropy planning + pack dispatch + in-order stitch (zstdmt
     # serialState/flushProduced analog), via the single-chip machinery
+    import concurrent.futures
     comp = TpuCompressor(level=level, checksum=checksum)
-    stageA = {0: (lens, stats, resident)}
-    stageB: dict[int, tuple] = {}
-    comp._planB(0, stageA, stageB, halo + block_size, cparams)
-    payloads = comp._finalize(0, stageA, stageB, arr, [(0, b_pad)],
-                              block_size, cparams)
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+    try:
+        stageA = {0: (lens, pool.submit(np.asarray, stats), resident)}
+        stageB: dict[int, tuple] = {}
+        comp._planB(0, stageA, stageB, halo + block_size, cparams, pool)
+        payloads = comp._finalize(0, stageA, stageB, arr, [(0, b_pad)],
+                                  block_size, cparams)
+    finally:
+        pool.shutdown(wait=False)
     payloads = payloads[:nb_blocks]
 
     for i, (payload, btype, blen) in enumerate(payloads):
