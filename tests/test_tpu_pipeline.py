@@ -43,3 +43,34 @@ def test_pipeline_ratio_close_to_oracle():
     oracle_blob = zstd_tpu.compress(data, level=1)
     # block-local window + no rep-probing costs a little; stay within 15%
     assert len(tpu_blob) < len(oracle_blob) * 1.03
+
+
+@pytest.mark.parametrize("level", [5, 9])
+def test_lazy_engine_roundtrip_and_ref(ref, level):
+    """Levels 5-12 route through the device lazy engine
+    (ops/fastmatch.extract_block_lazy): round-trip + reference decode."""
+    for i in (1, 2, 3, 5):
+        data = CASES[i]
+        blob = pipeline.compress(data, level=level, checksum=True)
+        assert zstd_tpu.decompress(blob) == data
+        assert ref_decompress(blob) == data
+
+
+def test_lazy_engine_ratio_vs_host_oracle():
+    """Device lazy parse quality gate: within 1.25x of the host DP oracle
+    at level 5 AND strictly better than running the fast-class v3 engine
+    at the same parameters (the lazy band must buy ratio)."""
+    data = gen_text(400000, seed=11) + gen_mixed(200000, seed=12,
+                                                 match_prob=0.5)
+    lazy_blob = pipeline.compress(data, level=5)
+    host_blob = zstd_tpu.compress(data, level=5)
+    os.environ["ZSTD_TPU_ENGINE"] = "v3"
+    pipeline._engine_kind.cache_clear()
+    try:
+        v3_blob = pipeline.compress(data, level=5)
+    finally:
+        del os.environ["ZSTD_TPU_ENGINE"]
+        pipeline._engine_kind.cache_clear()
+    assert zstd_tpu.decompress(lazy_blob) == data
+    assert len(lazy_blob) < len(host_blob) * 1.25
+    assert len(lazy_blob) < len(v3_blob)

@@ -289,10 +289,15 @@ def extract_block_v3(block: jax.Array, valid_len, hash_log: int, mls: int,
     c_dist = _rep_rewrite(tri, c_pos, c_len, c_dist, c_nb, n)
     seq_pos, seq_len, seq_off, nb_seq = _merge_chains(
         c_pos, c_len, c_dist, c_nb, seq_cap, n)
+    return _finish_sequences(block, tri, seq_pos, seq_len, seq_off, nb_seq,
+                             valid_len, emit_from, seq_cap, n)
 
-    # exact forward extension of merged matches (sparse, byte-granular):
-    # capped quantization may stop short; extend while bytes keep matching,
-    # bounded by the next sequence's start
+
+def _finish_sequences(block, tri, seq_pos, seq_len, seq_off, nb_seq,
+                      valid_len, emit_from, seq_cap, n):
+    """Shared epilogue: exact forward/backward extension of merged matches
+    plus literal-index derivation (v3 and lazy engines)."""
+    pos = jnp.arange(n, dtype=jnp.int32)
     k = jnp.arange(seq_cap, dtype=jnp.int32)
     vmask = k < nb_seq
     next_start = jnp.where(k + 1 < nb_seq, jnp.roll(seq_pos, -1),
@@ -395,6 +400,135 @@ def extract_block_v3(block: jax.Array, valid_len, hash_log: int, mls: int,
         "nb_lit": nb_lit,
         "overflow": nb_seq >= seq_cap,
     }
+
+
+def _capped_mlen_at(tri, b3, cand, valid_len, emit_from, passes):
+    """Quantized match length vs an arbitrary candidate array (no economics
+    filter — the lazy selector compares candidates on raw length)."""
+    n = tri.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    has = cand >= 0
+    c = jnp.maximum(cand, 0)
+    run = jnp.where(has & (tri[c] == tri) & (b3[c] == b3), 4, 0) \
+        .astype(jnp.int32)
+    still = run > 0
+    for k in passes:
+        eq = tri[jnp.minimum(c + k, n - 1)] == \
+            jnp.concatenate([tri[k:], jnp.zeros(k, jnp.float32)])
+        still = still & eq
+        run = run + jnp.where(still, jnp.int32(3), 0)
+    mlen = run
+    mlen = jnp.where(pos < valid_len - 16, mlen, 0)
+    mlen = jnp.minimum(mlen, jnp.maximum(valid_len - pos, 0))
+    mlen = jnp.where(pos >= emit_from, mlen, 0)
+    return mlen
+
+
+# lazy engine: deeper quantization ladder (cap 28) — long matches resolve
+# inline instead of through chain-merging
+LAZY_PASSES = (4, 7, 10, 13, 16, 19)
+
+
+def extract_block_lazy(block: jax.Array, valid_len, hash_log: int, mls: int,
+                       seq_cap: int, depth: int = 3, emit_from=0,
+                       halo_ok=True):
+    """Device engine for the lazy strategy band (levels 5-12).
+
+    Role of the reference's row-based lazy matcher
+    (/root/reference/lib/compress/zstd_lazy.c:784-1087 — SIMD tag rows,
+    1-2 position lookahead): where that code compares a row of hash tags
+    per position with one SSE2/NEON op, this walks `depth` links of the
+    exact sort-derived candidate chain (ops/fastmatch._candidates), scoring
+    every (position, candidate) pair in parallel on the VPU — candidate
+    depth replaces the row, and lookahead becomes an elementwise deferral:
+    a position whose successor has a strictly longer match contributes no
+    commit, so the greedy lockstep resolve naturally takes the later,
+    longer match (ZSTD_compressBlock_lazy_generic's `if (ml2 > matchLength)
+    continue` rephrased data-parallel).
+    """
+    n = block.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    emit_from = jnp.asarray(emit_from, jnp.int32)
+    halo_ok = jnp.asarray(halo_ok, jnp.bool_)
+
+    tri, b3, tri3, b6 = _tri_arrays(block)
+    h = _hash_f32(tri, tri3, b3, b6, hash_log, mls)
+    cand1 = _candidates(h, hash_log, valid_len)
+    cand1 = jnp.where(halo_ok | (cand1 >= emit_from), cand1, -1)
+    # second chain on a pure 4-byte hash: the long-hash chain is blind to
+    # 4-5 byte matches whose continuation differs (the host parse gets
+    # ~40% of its sequences from exactly these short near matches)
+    h4 = _hash_f32(tri, tri3, b3, b6, hash_log, 4)
+    cand4 = _candidates(h4, hash_log, valid_len)
+    cand4 = jnp.where(halo_ok | (cand4 >= emit_from), cand4, -1)
+
+    # depth-k chain walk: candidate k is the k-th previous same-bucket
+    # position; each level is one gather through the exact chain. Selection
+    # is by approximate bit GAIN, not raw length: saved literal bits minus
+    # the sequence's code cost (~8/bit literal, ~10 bit fixed + log2(dist)
+    # offset bits) — the lazy analog of the DP's price model, elementwise
+    def gain_of(ml, cd):
+        d = jnp.maximum((pos - cd).astype(jnp.float32), 1.0)
+        cost = 8.0 + jnp.ceil(jnp.log2(d + 1.0))
+        g = 7.5 * ml.astype(jnp.float32) - cost
+        return jnp.where((ml >= 4) & (cd >= 0), g, -1e9)
+
+    best_gain = jnp.full(n, -1e9, jnp.float32)
+    best_len = jnp.zeros(n, jnp.int32)
+    best_cand = jnp.full(n, -1, jnp.int32)
+
+    def consider(cand, state):
+        best_gain, best_len, best_cand = state
+        ml = _capped_mlen_at(tri, b3, cand, valid_len, emit_from,
+                             LAZY_PASSES)
+        g = gain_of(ml, cand)
+        take = g > best_gain          # nearer candidate wins ties
+        return (jnp.where(take, g, best_gain),
+                jnp.where(take, ml, best_len),
+                jnp.where(take, cand, best_cand))
+
+    st = (best_gain, best_len, best_cand)
+    cand = cand1
+    for _ in range(depth):
+        st = consider(cand, st)
+        cand = jnp.where(cand >= 0, cand1[jnp.maximum(cand, 0)], -1)
+    cand = cand4
+    for _ in range(2):
+        st = consider(cand, st)
+        cand = jnp.where(cand >= 0, cand4[jnp.maximum(cand, 0)], -1)
+    best_gain, best_len, best_cand = st
+
+    mlen = jnp.where(best_gain > 0.0, best_len, 0)
+    cand = best_cand
+
+    # lazy deferral: if a match starting 1 or 2 bytes later gains more than
+    # this one plus the stepped-over literals (~7.5 bit each), emit
+    # literals here instead; chained deferrals give lazy2+ behavior
+    g1 = jnp.concatenate([best_gain[1:], jnp.full(1, -1e9, jnp.float32)])
+    g2 = jnp.concatenate([best_gain[2:], jnp.full(2, -1e9, jnp.float32)])
+    defer = (g1 > best_gain + 7.5) | (g2 > best_gain + 15.0)
+    mlen = jnp.where(defer, 0, mlen)
+
+    nxt = _next_matchable(mlen)
+    yp, yl = _resolve(mlen, nxt)
+    c_pos, c_len, c_dist, c_nb = _compact(yp, yl, cand, seq_cap, n)
+    c_dist = _rep_rewrite(tri, c_pos, c_len, c_dist, c_nb, n)
+    seq_pos, seq_len, seq_off, nb_seq = _merge_chains(
+        c_pos, c_len, c_dist, c_nb, seq_cap, n)
+    return _finish_sequences(block, tri, seq_pos, seq_len, seq_off, nb_seq,
+                             valid_len, emit_from, seq_cap, n)
+
+
+def extract_batch_lazy(blocks: jax.Array, valid_lens: jax.Array,
+                       hash_log: int, mls: int, seq_cap: int,
+                       depth: int = 3, emit_from=None, halo_ok=None):
+    if emit_from is None:
+        fn = jax.vmap(lambda b, v: extract_block_lazy(
+            b, v, hash_log, mls, seq_cap, depth=depth))
+        return fn(blocks, valid_lens)
+    fn = jax.vmap(lambda b, v, e, ho: extract_block_lazy(
+        b, v, hash_log, mls, seq_cap, depth=depth, emit_from=e, halo_ok=ho))
+    return fn(blocks, valid_lens, emit_from, halo_ok)
 
 
 def extract_batch_v3(blocks: jax.Array, valid_lens: jax.Array,

@@ -105,6 +105,12 @@ def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap,
         from .ops.seqextract import extract_batch_pallas
         res = extract_batch_pallas(blocks, valid_lens, hash_log, mls, seq_cap)
         lits = res["lits"]
+    elif engine == "lazy":
+        # levels 5-12: depth-3 candidate chain + lazy deferral
+        # (zstd_lazy.c row-matcher analog, ops/fastmatch.extract_block_lazy)
+        from .ops.fastmatch import extract_batch_lazy
+        res = extract_batch_lazy(blocks, valid_lens, hash_log, mls, seq_cap)
+        lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
     elif engine == "xla":
         res = extract_batch(blocks, valid_lens, hash_log, mls, seq_cap)
         lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
@@ -380,10 +386,15 @@ class TpuCompressor:
                     e = min(s + block_size, n)
                     blocks[j, : e - s] = arr[s:e]
                     lens[j] = e - s
+                # strategy >= greedy (levels 5+): the lazy device engine;
+                # below that the fast-class engine (measured per backend)
+                eng = "lazy" if cparams.strategy >= 3 else _engine_kind()
+                if os.environ.get("ZSTD_TPU_ENGINE"):
+                    eng = _engine_kind()
                 stats, resident = _analyze_jit(
                     jnp.asarray(blocks), jnp.asarray(lens),
                     cparams.hash_log, min(max(cparams.min_match, 4), 8),
-                    max(block_size // 8, 8), engine=_engine_kind())
+                    max(block_size // 8, 8), engine=eng)
                 stageA[k] = (lens, pool.submit(np.asarray, stats), resident)
 
         try:
