@@ -428,13 +428,11 @@ class TpuCompressor:
         return bytes(out)
 
     # ------------------------------------------------------------------
-    def _planB(self, k, stageA, stageB, block_size, cparams: CParams, pool):
-        lens, stats_fut, resident = stageA[k]
-        with _phase("B:stats-fetch"):
-            stats = stats_fut.result()   # small d2h, pulled by the worker
+    def _build_plans(self, stats, lens, strategy, block_size):
+        """Host half of program B: per-block entropy planning from the
+        stats vectors alone. Returns (plans, plan blob, pack shape params);
+        shared by the single-chip path and the sharded zstdmt pack."""
         bsz = stats.shape[0]
-        strategy = cparams.strategy
-
         plans = []
         max_seq = 1
         blob = np.zeros((bsz, PLAN_LEN), dtype=np.int32)
@@ -502,6 +500,15 @@ class TpuCompressor:
         out_w_huf = (seg_cap * 10) // 32 + 4
         if _PIPETIME:
             PHASE_TIMES["B:host-plan"] += time.time() - _t_plan
+        return plans, blob, cap, out_w_fse, seg_cap, out_w_huf
+
+    # ------------------------------------------------------------------
+    def _planB(self, k, stageA, stageB, block_size, cparams: CParams, pool):
+        lens, stats_fut, resident = stageA[k]
+        with _phase("B:stats-fetch"):
+            stats = stats_fut.result()   # small d2h, pulled by the worker
+        plans, blob, cap, out_w_fse, seg_cap, out_w_huf = self._build_plans(
+            stats, lens, cparams.strategy, block_size)
         r = resident
         with _phase("B:tables-h2d+dispatch"):
             compact, sizes = _pack_impl(
@@ -515,10 +522,9 @@ class TpuCompressor:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _fetch_regions(plans, compact_d, sizes_d):
-        """Worker-thread half of finalize: pull sizes, mirror the device
-        piece gating into offsets, fetch the tight compact-buffer prefix."""
-        sizes = np.asarray(sizes_d)   # [B, 7], tiny
+    def _region_metas(plans, sizes):
+        """Mirror the device-side piece gating into host offsets.
+        Returns (metas, total_bytes); `sizes` is the fetched [B, 7] array."""
         metas = []
         off = 0
         for j, p in enumerate(plans):
@@ -541,7 +547,14 @@ class TpuCompressor:
             entry["raw"] = (off, raw_sz)
             off += raw_sz
             metas.append(entry)
-        total = off
+        return metas, off
+
+    @staticmethod
+    def _fetch_regions(plans, compact_d, sizes_d):
+        """Worker-thread half of finalize: pull sizes, mirror the device
+        piece gating into offsets, fetch the tight compact-buffer prefix."""
+        sizes = np.asarray(sizes_d)   # [B, 7], tiny
+        metas, total = TpuCompressor._region_metas(plans, sizes)
         step = 128 * 1024
         nb = min(max(-(-total // step) * step, step),
                  int(compact_d.shape[0]))
