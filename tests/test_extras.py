@@ -95,6 +95,51 @@ def test_pzstd_parallel_frames(ref):
     assert pzstd_decompress(b0 + b1) == data
 
 
+def test_pzstd_process_pool_encode(ref):
+    """VERDICT r2 item #8: -T# encode workers must actually overlap.
+    The process executor gives true compute parallelism (no GIL); output
+    stays standard multi-frame zstd the reference binary decodes."""
+    from zstd_tpu.parallel.pzstd import pzstd_compress, pzstd_decompress
+    data = gen_text(2 * 1024 * 1024, 22)
+    blob = pzstd_compress(data, level=1, workers=2, chunk_size=1 << 20,
+                          executor="process")
+    assert pzstd_decompress(blob) == data
+    assert ref_decompress(blob) == data
+    # byte-identical to the thread executor (determinism across executors)
+    blob_t = pzstd_compress(data, level=1, workers=2, chunk_size=1 << 20,
+                            executor="thread")
+    assert blob == blob_t
+
+
+def test_native_encode_releases_gil():
+    """The native DP parser (ctypes) must release the GIL while parsing so
+    thread workers overlap compute with Python (pzstd thread mode and the
+    async I/O pipeline depend on it)."""
+    import threading
+    import time
+    import zstd_tpu
+
+    data = gen_text(1 << 20, 23)
+    ticks = [0]
+    stop = threading.Event()
+
+    def counter():
+        while not stop.is_set():
+            ticks[0] += 1
+            time.sleep(0.001)
+
+    t = threading.Thread(target=counter, daemon=True)
+    t.start()
+    t0 = time.time()
+    zstd_tpu.compress(data, level=12)      # native opt DP does the work
+    dt = time.time() - t0
+    stop.set()
+    t.join(timeout=1)
+    # if the C call held the GIL the counter would tick only between
+    # blocks (~8 times); overlapped it ticks hundreds of times per second
+    assert ticks[0] > max(50 * dt, 20), (ticks[0], dt)
+
+
 def test_sharded_halo_mesh():
     import jax
     if len(jax.devices()) < 4:

