@@ -159,12 +159,16 @@ def _split_points(full: np.ndarray, bs: int, be: int,
 
 def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                    long_mode: bool = False, prefix: bytes = b"",
-                   target_cblock_size: int | None = None) -> bytes:
+                   target_cblock_size: int | None = None,
+                   ldm_state=None) -> bytes:
     """One full zstd frame (ZSTD_compressContinue_internal driver shape).
 
     prefix: raw window prefix (ZSTD_CCtx_refPrefix / --patch-from analog):
     matches may reference it, but it is not emitted; the decoder must be
-    given the same prefix."""
+    given the same prefix.
+    ldm_state: inject a pre-built long-distance matcher state (e.g. the
+    mesh-discovered parallel/ldm_sharded.ShardedLdmState) instead of
+    building the host LdmState; implies long matching."""
     n = len(data)
     window_log = cparams.window_log
     out = bytearray(write_frame_header(n, window_log, checksum))
@@ -180,8 +184,8 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
     window_size = 1 << window_log
     block_size = min(window_size, BLOCK_MAX_SIZE)
     state = BlockCState()
-    ldm_ctx = None
-    if long_mode:
+    ldm_ctx = ldm_state
+    if long_mode and ldm_ctx is None:
         from .ldm import LdmState
         ldm_ctx = LdmState(full, window_log)
         if p0:
