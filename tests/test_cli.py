@@ -135,3 +135,32 @@ def test_cli_filelist_and_superblock(tmp_path, ref):
              "--target-compressed-block-size", "2048"])
     z = tmp_path / "x.bin.zst"
     assert ref_decompress(z.read_bytes()) == f.read_bytes()
+
+
+def test_adapt_decide_reference_semantics():
+    """_adapt_decide mirrors FIO_compressZstdFrame's corrections
+    (fileio.c:1590-1666): output backpressure / starved input raise the
+    level, queued-up input with healthy output lowers it."""
+    from zstd_tpu.fileio_async import _adapt_decide
+    # output can't flush -> slower (higher level)
+    assert _adapt_decide(False, True, True, 5, 1, 19) == 6
+    # input slower than compression -> slower (higher level)
+    assert _adapt_decide(True, False, False, 5, 1, 19) == 6
+    # input waiting on us, output healthy -> faster (lower level)
+    assert _adapt_decide(False, True, False, 5, 1, 19) == 4
+    # steady state -> no change; bounds respected
+    assert _adapt_decide(False, False, False, 5, 1, 19) == 5
+    assert _adapt_decide(False, True, True, 19, 1, 19) == 19
+    assert _adapt_decide(False, True, False, 1, 1, 19) == 1
+
+
+def test_cli_adapt_file_queue_feedback(tmp_path, ref):
+    """--adapt on a large file drives the queue-feedback path and yields
+    multi-frame output any decoder reads."""
+    from tests.conftest import ref_decompress
+    f = tmp_path / "big.bin"
+    f.write_bytes(gen_text(9 * 1024 * 1024, seed=8))
+    run_cli(["--adapt", "min=1,max=6", str(f)])
+    z = tmp_path / "big.bin.zst"
+    assert z.exists()
+    assert ref_decompress(z.read_bytes()) == f.read_bytes()

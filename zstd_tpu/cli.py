@@ -89,15 +89,13 @@ def _pick_engine(args) -> str:
 
 
 def _compress_adaptive(data: bytes, args) -> bytes:
-    """--adapt analog (zstdcli.c:984 / fileio.c:1490 FIO_compressZstdFrame's
-    ZSTD_getFrameProgression feedback loop): compress in chunks, adapting the
-    level against the observed throughput of the pipeline itself — each
-    chunk's target is the running mean chunk throughput, so the level climbs
-    when compression outpaces its own recent history and falls when a level
-    bump slows it below it (a self-referential pace signal standing in for
-    the reference's I/O-queue fill levels). All other parameter plumbing
-    (--long/window_log/--fast) applies per chunk. Output is standard
-    multi-frame zstd."""
+    """--adapt fallback for in-memory/stdin inputs, where no I/O queues
+    exist to observe: the level adapts against the pipeline's own recent
+    throughput EMA. Real files take the fileio_async.compress_file_adaptive
+    path instead, whose feedback is the async reader/writer queue fill —
+    the actual FIO_compressZstdFrame mechanism (fileio.c:1490,
+    ZSTD_getFrameProgression feedback). Output is standard multi-frame
+    zstd either way."""
     lo, hi = 1, 19
     for part in (args.adapt or "").split(","):
         if part.startswith("min="):
@@ -436,6 +434,36 @@ def main(argv: list[str] | None = None) -> int:
                      and args.engine == "auto"
                      and args.target_cblock is None
                      and f != "-")
+            if (args.adapt is not None and mode == "compress"
+                    and not args.stdout and f != "-" and os.path.isfile(f)
+                    and os.path.getsize(f) >= (8 << 20)
+                    and args.dictionary is None and args.patch_from is None):
+                # --adapt on a large file: level feedback from the async
+                # I/O queue fill (FIO_compressZstdFrame's progression loop)
+                from .fileio_async import compress_file_adaptive
+                lo, hi = 1, 19
+                for part in (args.adapt or "").split(","):
+                    if part.startswith("min="):
+                        lo = int(part[4:])
+                    elif part.startswith("max="):
+                        hi = int(part[4:])
+                out = args.output or _out_name_compress(f)
+                if os.path.exists(out) and not args.force:
+                    _err(f"{out} already exists; use -f to overwrite")
+                    rc = 1
+                    continue
+                level = args.level if args.level is not None else 3
+                if args.fast is not None:
+                    level = -args.fast
+                compress_file_adaptive(
+                    f, out, level=level, lo=lo, hi=hi,
+                    checksum=not args.no_check,
+                    window_log=args.long if args.long else None,
+                    long_mode=args.long is not None)
+                _mirror_stat(f, out, args)
+                if args.rm:
+                    os.unlink(f)
+                continue
             if plain and os.path.isfile(f) and \
                     os.path.getsize(f) >= (8 << 20):
                 # large plain files stream through the async read-ahead /

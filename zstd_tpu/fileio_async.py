@@ -130,6 +130,62 @@ class AsyncWriter:
             raise self._err
 
 
+def _adapt_decide(input_starved: bool, input_waiting: bool,
+                  out_backed_up: bool, level: int, lo: int, hi: int) -> int:
+    """One --adapt correction, mirroring FIO_compressZstdFrame's signals
+    (/root/reference/programs/fileio.c:1590-1666):
+    - output can't flush what we produce, or input arrives slower than we
+      compress -> time is free -> raise the level (better ratio);
+    - input is queued up waiting on us while output keeps up -> compression
+      is the bottleneck -> lower the level (more speed)."""
+    if (out_backed_up or input_starved) and level < hi:
+        return level + 1
+    if input_waiting and not out_backed_up and level > lo:
+        return level - 1
+    return level
+
+
+def compress_file_adaptive(src: str, dst: str, level: int = 3,
+                           lo: int = 1, hi: int = 19,
+                           checksum: bool = True,
+                           window_log: int | None = None,
+                           long_mode: bool = False,
+                           chunk_size: int = _CHUNK) -> list[int]:
+    """--adapt with real consumer/producer backpressure: the reader and
+    writer queue fill levels are the speed feedback (fileio.c:1490's
+    ZSTD_getFrameProgression loop; ours samples the async I/O queues the
+    same way it samples flushed-vs-produced). Output is standard
+    multi-frame zstd (one frame per chunk). Returns the per-chunk levels
+    (observability / tests)."""
+    import zstd_tpu
+
+    level = min(max(level, lo), hi)
+    r = AsyncReader(src, chunk_size=chunk_size)
+    w = AsyncWriter(dst)
+    levels: list[int] = []
+    try:
+        it = iter(r)
+        while True:
+            input_starved = r._q.qsize() == 0       # we'd wait on the disk
+            try:
+                chunk = next(it)
+            except StopIteration:
+                break
+            input_waiting = r._q.full()             # disk is waiting on us
+            levels.append(level)
+            blob = zstd_tpu.compress(chunk, level=level, checksum=checksum,
+                                     window_log=window_log,
+                                     long_mode=long_mode)
+            out_backed_up = w._q.qsize() >= w._q.maxsize - 1
+            w.write(blob)
+            if len(levels) >= 2:    # warm-up: let the queues reach steady
+                level = _adapt_decide(input_starved, input_waiting,
+                                      out_backed_up, level, lo, hi)
+    finally:
+        w.close()
+    return levels
+
+
 def compress_file_async(src: str, dst: str, level: int = 3,
                         checksum: bool = True) -> None:
     """Streaming compress with read-ahead + write-behind threads."""
