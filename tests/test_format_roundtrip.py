@@ -87,3 +87,34 @@ def test_ratio_sanity():
     data = gen_text(200000, seed=7)
     blob = zstd_tpu.compress(data, level=1)
     assert len(blob) < len(data) // 3
+
+
+def test_superblock_exact_sizing(ref):
+    """target_cblock_size produces sub-blocks whose EXACT compressed sizes
+    cluster at-or-under the target (zstd_compress_superblock.c's exact
+    sub-block sizer role, not just estimator cuts)."""
+    import statistics
+
+    import zstd_tpu
+    from zstd_tpu.format.frame import parse_frame_header
+    from tests.conftest import gen_mixed, gen_text, ref_decompress
+
+    data = gen_text(250_000, seed=91) + gen_mixed(80_000, seed=92)
+    tgt = 2048
+    blob = zstd_tpu.compress(data, level=5, target_cblock_size=tgt)
+    assert zstd_tpu.decompress(blob) == data
+    assert ref_decompress(blob) == data
+    fh = parse_frame_header(blob)
+    pos = fh.header_size
+    sizes = []
+    while True:
+        bh = int.from_bytes(blob[pos : pos + 3], "little")
+        last, bt, sz = bh & 1, (bh >> 1) & 3, bh >> 3
+        payload = 1 if bt == 1 else sz
+        sizes.append(payload)
+        pos += 3 + payload
+        if last:
+            break
+    body = sizes[:-1] if len(sizes) > 1 else sizes
+    assert max(body) <= tgt * 5 // 4          # no sub-block far over target
+    assert statistics.median(body) >= tgt // 3  # and none absurdly small

@@ -210,6 +210,60 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
 
     if n < 32768 and not target_cblock_size:
         return whole
+    if target_cblock_size:
+        # superblock mode: greedy EXACT sub-block sizing — each sub-block
+        # is proposed from the estimator, then actually encoded and
+        # resized once if its true compressed size strays from the target
+        # (ZSTD_compressSubBlock's exact sub-block sizer role,
+        # /root/reference/lib/compress/zstd_compress_superblock.c:263,506-529;
+        # table modes are re-decided per sub-block by the entropy states).
+        from .split import make_estimator, target_cost_cum
+        est = make_estimator(seqs)
+        cum = np.concatenate([[0], target_cost_cum(est)])
+        tgt_bits = max(target_cblock_size, 1024) * 8
+        nb = seqs.nb_seq
+        if nb == 0:
+            return whole
+        pieces = []
+        st = state
+        total = 0
+        a = 0
+        while a < nb:
+            b = int(np.searchsorted(cum, cum[a] + tgt_bits, side="left"))
+            b = min(max(b, a + 1), nb)
+
+            def try_piece(bb):
+                last_ = bb == nb
+                sub_ = slice_seqstore(seqs, a, bb, last_)
+                clen_ = segment_content_len(seqs, a, bb, last_, n, total)
+                payload_, nh, nf = encode(sub_, st, clen_, False)
+                return payload_, nh, nf, clen_
+
+            try:
+                payload, next_huf, next_fse, clen = try_piece(b)
+                actual = len(payload)
+                if actual > target_cblock_size * 5 // 4 and b - a > 4:
+                    b2 = a + max((b - a) * target_cblock_size
+                                 * 8 // (actual * 8), 4)
+                    if b2 < b:
+                        b = b2
+                        payload, next_huf, next_fse, clen = try_piece(b)
+                elif (actual < target_cblock_size // 2 and b < nb):
+                    b2 = min(a + max((b - a) * target_cblock_size
+                                     * 8 // (max(actual, 1) * 8), b - a + 1),
+                             nb)
+                    if b2 > b:
+                        b = b2
+                        payload, next_huf, next_fse, clen = try_piece(b)
+            except _EmitRawBlock:
+                return whole
+            if len(payload) >= clen:
+                return whole
+            pieces.append((payload, BT_COMPRESSED, clen))
+            st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx)
+            total += clen
+            a = b
+        return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx)
     pts = split_points(seqs, target_cblock_size=target_cblock_size)
     if not pts:
         return whole

@@ -62,6 +62,19 @@ class _Est:
         return lit_cost + code_cost + float(self.extra_bits[a:b].sum())
 
 
+def target_cost_cum(est: "_Est") -> np.ndarray:
+    """Cumulative per-sequence compressed-size estimate in bits (code
+    entropy ~10 bits + extra bits + ~6 bits per literal byte). Used to
+    propose target-size cuts; block.py corrects them with exact sizing."""
+    ll_bytes = np.diff(est.lit_starts)
+    per_seq = est.extra_bits + 10 + 6 * ll_bytes
+    return np.cumsum(per_seq)
+
+
+def make_estimator(seqs: SeqStore) -> "_Est":
+    return _Est(seqs, np.frombuffer(seqs.literals, dtype=np.uint8))
+
+
 def split_points(seqs: SeqStore, max_depth: int = 4,
                  target_cblock_size: int | None = None) -> list[int]:
     """Sequence-index split points (interior), or [] when one block wins.
@@ -78,11 +91,7 @@ def split_points(seqs: SeqStore, max_depth: int = 4,
 
     if target_cblock_size:
         tgt_bits = max(target_cblock_size, 1024) * 8
-        # vectorized per-sequence cost estimate: code entropy ~10 bits +
-        # extra bits + ~6 bits per literal byte; cut at target multiples
-        ll_bytes = np.diff(est.lit_starts)
-        per_seq = est.extra_bits + 10 + 6 * ll_bytes
-        cum = np.cumsum(per_seq)
+        cum = target_cost_cum(est)
         marks = (cum / tgt_bits).astype(np.int64)
         cuts = np.nonzero(np.diff(marks) > 0)[0] + 1
         return [int(c) for c in cuts if 0 < c < n]
