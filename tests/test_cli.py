@@ -164,3 +164,29 @@ def test_cli_adapt_file_queue_feedback(tmp_path, ref):
     z = tmp_path / "big.bin.zst"
     assert z.exists()
     assert ref_decompress(z.read_bytes()) == f.read_bytes()
+
+
+def test_cli_multiformat_passthrough(tmp_path):
+    """--format gzip/xz compress + magic-sniffed decompress
+    (FIO_decompressFrames multi-format sniff, fileio.c:2721)."""
+    import gzip
+    import lzma
+
+    data = gen_text(120_000, seed=13)
+    src = tmp_path / "m.bin"
+    src.write_bytes(data)
+    # compress to gzip, decompress by sniff
+    run_cli(["--format", "gzip", "-6", str(src)])
+    gz = tmp_path / "m.bin.gz"
+    assert gz.exists() and gzip.decompress(gz.read_bytes()) == data
+    r = run_cli(["-d", "-c", str(gz)])
+    assert r.stdout == data
+    # xz round trip through the CLI both ways
+    run_cli(["--format", "xz", "-f", "-o", str(tmp_path / "m.xz"), str(src)])
+    assert lzma.decompress((tmp_path / "m.xz").read_bytes()) == data
+    r = run_cli(["-d", "-c", str(tmp_path / "m.xz")])
+    assert r.stdout == data
+    # foreign-made gzip decodes too
+    (tmp_path / "ext.gz").write_bytes(gzip.compress(data))
+    r = run_cli(["-d", "-c", str(tmp_path / "ext.gz")])
+    assert r.stdout == data

@@ -68,6 +68,10 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
                    help="aim compressed blocks at this size (superblock)")
     p.add_argument("--memory", type=int, default=None,
                    help="decompression memory limit (windowLog cap)")
+    p.add_argument("--format", choices=["zstd", "gzip", "xz", "lzma"],
+                   default="zstd",
+                   help="compress to this format (gzip/xz/lzma passthrough "
+                        "codecs; decompression sniffs the magic regardless)")
     for lvl in range(1, 23):
         p.add_argument(f"-{lvl}", dest="level", action="store_const",
                        const=lvl, help=argparse.SUPPRESS)
@@ -135,6 +139,14 @@ def _compress_bytes(data: bytes, args) -> bytes:
     if args.fast is not None:
         level = -args.fast
     checksum = not args.no_check
+    if args.format == "gzip":
+        import gzip
+        return gzip.compress(data, compresslevel=min(max(level, 1), 9))
+    if args.format in ("xz", "lzma"):
+        import lzma
+        fmt = lzma.FORMAT_XZ if args.format == "xz" else lzma.FORMAT_ALONE
+        return lzma.compress(data, format=fmt,
+                             preset=min(max(level, 0), 9))
     if args.adapt is not None:
         return _compress_adaptive(data, args)
     if args.patch_from:
@@ -168,9 +180,39 @@ def _compress_bytes(data: bytes, args) -> bytes:
                              target_cblock_size=args.target_cblock)
 
 
+_GZIP_MAGIC = b"\x1f\x8b"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+_LZMA_MAGIC = b"\x5d\x00\x00"
+_LZ4_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def _sniff_passthrough(data: bytes):
+    """Multi-format magic sniff on decompression (FIO_decompressFrames,
+    /root/reference/programs/fileio.c:2721; passthrough codecs :1213-1445).
+    Returns decoded bytes for a foreign format, None for zstd/unknown."""
+    if data[:2] == _GZIP_MAGIC:
+        import gzip
+        return gzip.decompress(data)
+    if data[:6] == _XZ_MAGIC:
+        import lzma
+        return lzma.decompress(data, format=lzma.FORMAT_XZ)
+    if data[:3] == _LZMA_MAGIC and len(data) > 13:
+        import lzma
+        return lzma.decompress(data, format=lzma.FORMAT_ALONE)
+    if data[:4] == _LZ4_MAGIC:
+        from .errors import ZstdError, ZstdErrorCode
+        raise ZstdError(ZstdErrorCode.prefix_unknown,
+                        "lz4 passthrough is not supported (no lz4 codec in "
+                        "the environment); decompress with an lz4 tool")
+    return None
+
+
 def _decompress_bytes(data: bytes, args) -> bytes:
     import zstd_tpu
     wlog_max = args.memory if args.memory else (args.long if args.long else 27)
+    other = _sniff_passthrough(data)
+    if other is not None:
+        return other
     if args.engine == "tpu" and not args.dictionary and not args.patch_from:
         # device decode path (batched Huffman + pointer-doubling exec)
         from .device_decoder import device_decompress
@@ -190,12 +232,15 @@ def _decompress_bytes(data: bytes, args) -> bytes:
     return zstd_tpu.decompress(data, window_log_max=wlog_max)
 
 
-def _out_name_compress(name: str) -> str:
-    return name + ".zst"
+_FMT_SUFFIX = {"zstd": ".zst", "gzip": ".gz", "xz": ".xz", "lzma": ".lzma"}
+
+
+def _out_name_compress(name: str, fmt: str = "zstd") -> str:
+    return name + _FMT_SUFFIX.get(fmt, ".zst")
 
 
 def _out_name_decompress(name: str) -> str:
-    for suf in (".zst", ".zstd"):
+    for suf in (".zst", ".zstd", ".gz", ".xz", ".lzma"):
         if name.endswith(suf):
             return name[: -len(suf)]
     return name + ".out"
@@ -433,8 +478,10 @@ def main(argv: list[str] | None = None) -> int:
                      and not args.stdout and args.fast is None
                      and args.engine == "auto"
                      and args.target_cblock is None
+                     and args.format == "zstd"
                      and f != "-")
             if (args.adapt is not None and mode == "compress"
+                    and args.format == "zstd"
                     and not args.stdout and f != "-" and os.path.isfile(f)
                     and os.path.getsize(f) >= (8 << 20)
                     and args.dictionary is None and args.patch_from is None):
@@ -447,7 +494,7 @@ def main(argv: list[str] | None = None) -> int:
                         lo = int(part[4:])
                     elif part.startswith("max="):
                         hi = int(part[4:])
-                out = args.output or _out_name_compress(f)
+                out = args.output or _out_name_compress(f, args.format)
                 if os.path.exists(out) and not args.force:
                     _err(f"{out} already exists; use -f to overwrite")
                     rc = 1
@@ -464,6 +511,12 @@ def main(argv: list[str] | None = None) -> int:
                 if args.rm:
                     os.unlink(f)
                 continue
+            if plain and mode == "decompress" and os.path.isfile(f):
+                with open(f, "rb") as fh:
+                    head = fh.read(8)
+                if (head[:2] == _GZIP_MAGIC or head[:6] == _XZ_MAGIC
+                        or head[:3] == _LZMA_MAGIC or head[:4] == _LZ4_MAGIC):
+                    plain = False   # foreign format: whole-buffer passthrough
             if plain and os.path.isfile(f) and \
                     os.path.getsize(f) >= (8 << 20):
                 # large plain files stream through the async read-ahead /
@@ -495,7 +548,7 @@ def main(argv: list[str] | None = None) -> int:
                 data = open(f, "rb").read()
             if mode == "compress":
                 result = _compress_bytes(data, args)
-                default_out = _out_name_compress(f)
+                default_out = _out_name_compress(f, args.format)
             else:
                 result = _decompress_bytes(data, args)
                 default_out = _out_name_decompress(f)
