@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 
 
 def main():
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     from bigcorpus import big_corpus
     from zstd_tpu.parallel.pzstd import pzstd_compress
