@@ -148,10 +148,17 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
         return find_sequences_ldm(
             full, block_start, block_end, window_low, state.reps, cparams,
             ldm_ctx)
-    if cparams.strategy >= 2:
-        # dfast and up all route through the native DP parser with a
-        # strategy-scaled search depth (find_sequences_opt falls back to the
-        # Python lazy ladder when the native library is unavailable)
+    # ALL strategies route through the native DP parser with a
+    # strategy-scaled search depth (find_sequences_opt falls back to the
+    # Python lazy ladder when the native library is unavailable). For the
+    # fast class (levels 1-2) the DP is measured both FASTER than the
+    # vectorized-numpy greedy pass on host (Python overhead dominates, not
+    # algorithm) and ~16% smaller; ZSTD_TPU_HOST_PARSER=fast restores the
+    # greedy fast-class parse (also the apples-to-apples oracle for the
+    # device fast engines, which are greedy by design like zstd_fast.c).
+    import os as _os
+    if cparams.strategy >= 2 or (
+            _os.environ.get("ZSTD_TPU_HOST_PARSER", "") != "fast"):
         from .opt import find_sequences_opt
         return find_sequences_opt(
             full, block_start, block_end, window_low, state.reps, cparams,

@@ -147,7 +147,9 @@ def find_sequences_ldm(full: np.ndarray, block_start: int, block_end: int,
             return SeqStore(np.zeros(0, np.int32), np.zeros(0, np.int32),
                             np.zeros(0, np.int32), b""), r
         wl = max(window_low, gs - inner_window)
-        if cparams.strategy >= 2:
+        import os as _os
+        if cparams.strategy >= 2 or (
+                _os.environ.get("ZSTD_TPU_HOST_PARSER", "") != "fast"):
             # same inner routing as plain blocks: native DP parser with
             # lazy fallback (format/opt.py)
             from .opt import find_sequences_opt
