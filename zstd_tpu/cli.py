@@ -51,6 +51,9 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("--patch-from", dest="patch_from", metavar="FILE")
     p.add_argument("--adapt", nargs="?", const="", metavar="min=#,max=#",
                    dest="adapt")
+    p.add_argument("--rsyncable", action="store_true",
+                   help="content-defined frame boundaries so rsync "
+                        "re-transfers only changed regions")
     p.add_argument("--no-check", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--engine", choices=["auto", "tpu", "host"], default="auto")
@@ -153,6 +156,14 @@ def _compress_bytes(data: bytes, args) -> bytes:
         from .format.codec import compress_patch
         patch = open(args.patch_from, "rb").read()
         return compress_patch(data, patch, level=level, checksum=checksum)
+    if args.rsyncable and args.dictionary is None and not args.long:
+        # content-defined frame boundaries (ZSTD_c_rsyncable analog,
+        # zstdmt_compress.c:1284: rsyncBits tracks the job size = 4x window)
+        from .params import get_cparams
+        from .parallel.pzstd import pzstd_compress
+        rlog = min(max(get_cparams(level, len(data)).window_log + 2, 19), 24)
+        return pzstd_compress(data, level=level, checksum=checksum,
+                              workers=max(args.threads, 1), rsync_log=rlog)
     # multi-frame parallel output only on an EXPLICIT -T#: the reference's
     # default (-T0) stays single-frame (zstdmt windows share one frame), so
     # silently switching frame structure on size alone would diverge in
@@ -474,6 +485,7 @@ def main(argv: list[str] | None = None) -> int:
         try:
             plain = (args.dictionary is None and args.patch_from is None
                      and args.adapt is None and args.threads <= 1
+                     and not args.rsyncable
                      and not args.long and not args.test
                      and not args.stdout and args.fast is None
                      and args.engine == "auto"

@@ -46,17 +46,25 @@ def _proc_encode(args: tuple[bytes, int, bool]) -> bytes:
 def pzstd_compress(data: bytes, level: int = 3, checksum: bool = False,
                    chunk_size: int | None = None, workers: int = 4,
                    shard_index: int = 0, shard_count: int = 1,
-                   executor: str = "auto") -> bytes:
+                   executor: str = "auto",
+                   rsync_log: int | None = None) -> bytes:
     """Parallel multi-frame compression.
 
     shard_index/shard_count: multi-host mode — this host compresses only its
     contiguous chunk range; hosts concatenate outputs in shard order.
     executor: 'process' (true compute parallelism), 'thread', or 'auto'
-    (process pool when the machine has the cores and enough chunks)."""
-    if chunk_size is None:
-        chunk_size = max(1 << 22, len(data) // max(workers * 4, 1) or 1)
-    chunks = [data[i : i + chunk_size]
-              for i in range(0, max(len(data), 1), chunk_size)]
+    (process pool when the machine has the cores and enough chunks).
+    rsync_log: when set, chunk boundaries are content-defined sync points
+    with mean spacing 2^rsync_log (ZSTD_c_rsyncable analog — local edits
+    re-synchronize the frame stream so rsync transfers only changed frames)."""
+    if rsync_log is not None:
+        from ..rsync import split_rsyncable
+        chunks = split_rsyncable(data, avg_log=rsync_log) or [data]
+    else:
+        if chunk_size is None:
+            chunk_size = max(1 << 22, len(data) // max(workers * 4, 1) or 1)
+        chunks = [data[i : i + chunk_size]
+                  for i in range(0, max(len(data), 1), chunk_size)]
     mine = chunks[shard_index::shard_count] if shard_count > 1 else chunks
     # preserve global order for multi-host: contiguous ranges, not strides
     if shard_count > 1:
