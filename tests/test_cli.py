@@ -190,3 +190,46 @@ def test_cli_multiformat_passthrough(tmp_path):
     (tmp_path / "ext.gz").write_bytes(gzip.compress(data))
     r = run_cli(["-d", "-c", str(tmp_path / "ext.gz")])
     assert r.stdout == data
+
+
+def test_cli_output_dir_flat(tmp_path):
+    """--output-dir-flat collects outputs by basename (zstdcli analog)."""
+    from tests.conftest import ref_decompress
+    sub = tmp_path / "a" / "b"
+    sub.mkdir(parents=True)
+    data = gen_text(50_000, seed=21)
+    (sub / "x.bin").write_bytes(data)
+    outd = tmp_path / "flat"
+    run_cli(["-q", "--output-dir-flat", str(outd), str(sub / "x.bin")])
+    z = outd / "x.bin.zst"
+    assert z.exists()
+    assert ref_decompress(z.read_bytes()) == data
+    # decompression honors it too
+    outd2 = tmp_path / "flat2"
+    run_cli(["-d", "-q", "--output-dir-flat", str(outd2), str(z)])
+    assert (outd2 / "x.bin").read_bytes() == data
+
+
+def test_cli_output_dir_mirror(tmp_path, monkeypatch):
+    """--output-dir-mirror recreates the source tree under DIR."""
+    from tests.conftest import ref_decompress
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "src" / "deep").mkdir(parents=True)
+    data = gen_text(30_000, seed=22)
+    (tmp_path / "src" / "deep" / "y.bin").write_bytes(data)
+    run_cli(["-q", "--output-dir-mirror", "m", "-r", "src"])
+    z = tmp_path / "m" / "src" / "deep" / "y.bin.zst"
+    assert z.exists()
+    assert ref_decompress(z.read_bytes()) == data
+
+
+def test_cli_exclude_compressed(tmp_path):
+    """--exclude-compressed skips already-compressed files on -r sweeps."""
+    d = tmp_path / "mix"
+    d.mkdir()
+    data = gen_text(40_000, seed=23)
+    (d / "plain.txt").write_bytes(data)
+    (d / "already.zst").write_bytes(b"\x28\xb5\x2f\xfd fake")
+    run_cli(["-q", "-f", "--exclude-compressed", "-r", str(d)])
+    assert (d / "plain.txt.zst").exists()
+    assert not (d / "already.zst.zst").exists()

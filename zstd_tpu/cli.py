@@ -54,6 +54,14 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("--rsyncable", action="store_true",
                    help="content-defined frame boundaries so rsync "
                         "re-transfers only changed regions")
+    p.add_argument("--output-dir-flat", dest="output_dir_flat", metavar="DIR",
+                   help="write all output files into DIR (basenames only)")
+    p.add_argument("--output-dir-mirror", dest="output_dir_mirror",
+                   metavar="DIR",
+                   help="recreate the source directory structure under DIR")
+    p.add_argument("--exclude-compressed", dest="exclude_compressed",
+                   action="store_true",
+                   help="compress only files that are not already compressed")
     p.add_argument("--no-check", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--engine", choices=["auto", "tpu", "host"], default="auto")
@@ -255,6 +263,29 @@ def _out_name_decompress(name: str) -> str:
         if name.endswith(suf):
             return name[: -len(suf)]
     return name + ".out"
+
+
+# suffixes --exclude-compressed skips (zstdcli.c compressedFileExtensions)
+_COMPRESSED_SUFFIXES = (".zst", ".zstd", ".gz", ".gzip", ".xz", ".lzma",
+                        ".lz4", ".bz2", ".7z", ".zip")
+
+
+def _dest_path(default_name: str, args) -> str:
+    """Resolve the output path (zstdcli --output-dir-flat /
+    --output-dir-mirror; UTIL_mirrorSourceFilesDirectories role)."""
+    if args.output:
+        return args.output
+    if args.output_dir_flat:
+        os.makedirs(args.output_dir_flat, exist_ok=True)
+        return os.path.join(args.output_dir_flat,
+                            os.path.basename(default_name))
+    if args.output_dir_mirror:
+        rel = default_name.lstrip(os.sep)
+        parts = [p for p in rel.split(os.sep) if p and p != ".."]
+        dest = os.path.join(args.output_dir_mirror, *parts)
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        return dest
+    return default_name
 
 
 def _do_list(files, args) -> int:
@@ -483,6 +514,9 @@ def main(argv: list[str] | None = None) -> int:
     rc = 0
     for f in files:
         try:
+            if (args.exclude_compressed and mode == "compress"
+                    and f.endswith(_COMPRESSED_SUFFIXES)):
+                continue
             plain = (args.dictionary is None and args.patch_from is None
                      and args.adapt is None and args.threads <= 1
                      and not args.rsyncable
@@ -506,7 +540,7 @@ def main(argv: list[str] | None = None) -> int:
                         lo = int(part[4:])
                     elif part.startswith("max="):
                         hi = int(part[4:])
-                out = args.output or _out_name_compress(f, args.format)
+                out = _dest_path(_out_name_compress(f, args.format), args)
                 if os.path.exists(out) and not args.force:
                     _err(f"{out} already exists; use -f to overwrite")
                     rc = 1
@@ -535,9 +569,9 @@ def main(argv: list[str] | None = None) -> int:
                 # write-behind pipeline (fileio_asyncio.c analog)
                 from .fileio_async import (compress_file_async,
                                            decompress_file_async)
-                out = args.output or (_out_name_compress(f)
-                                      if mode == "compress"
-                                      else _out_name_decompress(f))
+                out = _dest_path(_out_name_compress(f)
+                                 if mode == "compress"
+                                 else _out_name_decompress(f), args)
                 if os.path.exists(out) and not args.force:
                     _err(f"{out} already exists; use -f to overwrite")
                     rc = 1
@@ -571,7 +605,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.stdout or f == "-":
                 sys.stdout.buffer.write(result)
             else:
-                out = args.output or default_out
+                out = _dest_path(default_out, args)
                 if os.path.exists(out) and not args.force:
                     _err(f"{out} already exists; use -f to overwrite")
                     rc = 1
