@@ -233,3 +233,13 @@ def test_cli_exclude_compressed(tmp_path):
     run_cli(["-q", "-f", "--exclude-compressed", "-r", str(d)])
     assert (d / "plain.txt.zst").exists()
     assert not (d / "already.zst.zst").exists()
+
+
+def test_cli_bench_level_range(tmp_path):
+    """-b# -e# sweeps the level range; -i# shrinks the timing window."""
+    f = tmp_path / "b.bin"
+    f.write_bytes(gen_text(60_000, seed=24))
+    r = run_cli(["-b1", "-e2", "-i0.05", str(f)])
+    lines = [ln for ln in r.stdout.decode().splitlines() if "b.bin" in ln]
+    assert len(lines) == 2 and lines[0].startswith(" 1#") \
+        and lines[1].startswith(" 2#")

@@ -32,6 +32,10 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("-t", "--test", action="store_true")
     p.add_argument("-b", dest="bench", nargs="?", const=3, type=int,
                    metavar="#", help="benchmark file(s) at level #")
+    p.add_argument("-e", dest="bench_end", type=int, metavar="#",
+                   help="with -b: benchmark the level range -b#..-e#")
+    p.add_argument("-i", dest="bench_secs", type=float, metavar="#",
+                   help="with -b: minimum seconds per measurement")
     p.add_argument("--train", action="store_true")
     p.add_argument("--train-cover", action="store_true", dest="train_cover")
     p.add_argument("--optimize-cover", action="store_true", dest="opt_cover")
@@ -345,34 +349,39 @@ def _do_list(files, args) -> int:
 
 def _do_bench(files, args) -> int:
     """zstd -b# analog (benchzstd.c BMK_benchFilesAdvanced): iterated
-    best-of timing over a minimum window, compress and decompress."""
-    level = args.bench if args.bench is not None else 3
-    min_secs = 1.0 if args.verbose else 0.4
-    for f in files:
-        data = open(f, "rb").read()
-        blob = _compress_bytes(data, args)          # warm / result
-        ct = float("inf")
-        elapsed = 0.0
-        while elapsed < min_secs:
-            t0 = time.time()
-            blob = _compress_bytes(data, args)
-            dt = time.time() - t0
-            ct = min(ct, dt)
-            elapsed += dt
-        dtm = float("inf")
-        elapsed = 0.0
-        out = None
-        while elapsed < min_secs:
-            t0 = time.time()
-            out = _decompress_bytes(blob, args)
-            dt = time.time() - t0
-            dtm = min(dtm, dt)
-            elapsed += dt
-        assert out == data, "round-trip mismatch"
-        print(f"{level:>2}#{os.path.basename(f):>18} :{len(data):>9} -> "
-              f"{len(blob):>9} ({len(data)/len(blob):6.3f}), "
-              f"{len(data)/ct/1e6:6.1f} MB/s, "
-              f"{len(data)/dtm/1e6:6.1f} MB/s")
+    best-of timing over a minimum window, compress and decompress;
+    -e# sweeps the level range, -i# sets the timing window."""
+    start = args.bench if args.bench is not None else 3
+    end = args.bench_end if args.bench_end is not None else start
+    min_secs = args.bench_secs if args.bench_secs is not None else \
+        (1.0 if args.verbose else 0.4)
+    for level in range(start, max(start, end) + 1):
+        args.level = level
+        for f in files:
+            data = open(f, "rb").read()
+            blob = _compress_bytes(data, args)          # warm / result
+            ct = float("inf")
+            elapsed = 0.0
+            while elapsed < min_secs:
+                t0 = time.time()
+                blob = _compress_bytes(data, args)
+                dt = time.time() - t0
+                ct = min(ct, dt)
+                elapsed += dt
+            dtm = float("inf")
+            elapsed = 0.0
+            out = None
+            while elapsed < min_secs:
+                t0 = time.time()
+                out = _decompress_bytes(blob, args)
+                dt = time.time() - t0
+                dtm = min(dtm, dt)
+                elapsed += dt
+            assert out == data, "round-trip mismatch"
+            print(f"{level:>2}#{os.path.basename(f):>18} :{len(data):>9} -> "
+                  f"{len(blob):>9} ({len(data)/len(blob):6.3f}), "
+                  f"{len(data)/ct/1e6:6.1f} MB/s, "
+                  f"{len(data)/dtm/1e6:6.1f} MB/s")
     return 0
 
 
