@@ -1,0 +1,119 @@
+"""Native host encode paths: the C fast-class matchfinder (native/fast.c,
+zstd_fast.c role) and the C entropy bit loops (native/encode.c:
+zt_encode_sequences = ZSTD_encodeSequences_body role, zt_huf_encode =
+HUF_compress1X role). The C bitstreams must be byte-identical to the
+pure-Python spec oracle; the fast parse must round-trip, cross-decode
+under the reference binary, and stay within the level's size contract.
+"""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from conftest import REF_ZSTD, gen_text, have_ref
+
+import zstd_tpu
+import zstd_tpu.native as N
+import zstd_tpu.format.sequences as S
+import zstd_tpu.format.huffman as H
+
+
+pytestmark = pytest.mark.skipif(N.get_native() is None,
+                                reason="native library unavailable")
+
+
+def _capture_seqstores(datas_levels):
+    import zstd_tpu.format.block as B
+    stores = []
+    orig = S.write_sequences_section
+
+    def hook(seqs, prev, strategy):
+        stores.append((seqs, prev.copy(), strategy))
+        return orig(seqs, prev, strategy)
+
+    B.write_sequences_section = hook
+    try:
+        for data, level in datas_levels:
+            zstd_tpu.compress(data, level=level, checksum=False)
+    finally:
+        B.write_sequences_section = orig
+    return stores
+
+
+def test_c_sequence_bitstream_matches_python():
+    data = gen_text(600_000, seed=31)
+    stores = _capture_seqstores([(data, 1), (data[:200_000], 3),
+                                 (data[:100_000], 19)])
+    assert stores
+    nat = N.get_native()
+    for seqs, prev, strat in stores:
+        llc, ofc, mlc = S.seq_to_codes_np(seqs.lit_length, seqs.off_base,
+                                          seqs.ml_base)
+        _, nxt, _ = S.build_sequences_header(llc, ofc, mlc, seqs.nb_seq,
+                                             prev, strat)
+        c_out = nat.encode_sequences(seqs.lit_length, seqs.off_base,
+                                     seqs.ml_base, llc, ofc, mlc,
+                                     S.LL_BITS, S.ML_BITS,
+                                     nxt.ct_ll, nxt.ct_of, nxt.ct_ml)
+        gn = N.get_native
+        N.get_native = lambda: None
+        try:
+            py_out = S.encode_sequences(seqs, llc, ofc, mlc, nxt.ct_ll,
+                                        nxt.ct_of, nxt.ct_ml)
+        finally:
+            N.get_native = gn
+        assert c_out == py_out
+
+
+def test_c_huffman_stream_matches_python():
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(0, 40, 20_000, dtype=np.uint8) ** 2 % 251)
+    hist = np.bincount(np.frombuffer(data, np.uint8), minlength=256)
+    mx = int(np.nonzero(hist)[0][-1])
+    ct = H.build_huf_ctable(hist.astype(np.int64), mx)
+    nat = N.get_native()
+    c_out = nat.huf_encode(data, ct.nb_bits, ct.value)
+    gn = N.get_native
+    N.get_native = lambda: None
+    try:
+        py_out = H.huf_encode_1x(data, ct)
+    finally:
+        N.get_native = gn
+    assert c_out == py_out
+
+
+def test_fast_parse_roundtrip_and_crossdecode():
+    if not have_ref():
+        pytest.skip("reference binary not built")
+    for seed, size in ((1, 400_000), (2, 150_000), (3, 64_000)):
+        data = gen_text(size, seed=seed)
+        for level in (1, 2, -1, -3):
+            blob = zstd_tpu.compress(data, level=level)
+            assert zstd_tpu.decompress(blob) == data
+            r = subprocess.run([REF_ZSTD, "-dc"], input=blob,
+                               capture_output=True, check=True)
+            assert r.stdout == data
+
+
+def test_fast_parse_incompressible_and_tiny():
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes()
+    blob = zstd_tpu.compress(noise, level=1)
+    assert zstd_tpu.decompress(blob) == noise
+    for n in (0, 1, 15, 64):
+        d = bytes(range(n))
+        assert zstd_tpu.decompress(zstd_tpu.compress(d, level=1)) == d
+
+
+def test_fast_parse_honors_host_parser_override(monkeypatch):
+    data = gen_text(200_000, seed=6)
+    fast = zstd_tpu.compress(data, level=1, checksum=False)
+    monkeypatch.setenv("ZSTD_TPU_HOST_PARSER", "dp")
+    dp = zstd_tpu.compress(data, level=1, checksum=False)
+    monkeypatch.delenv("ZSTD_TPU_HOST_PARSER")
+    # the DP route is the ratio-maximal one; both must round-trip
+    assert zstd_tpu.decompress(fast) == data
+    assert zstd_tpu.decompress(dp) == data
+    assert len(dp) <= len(fast)

@@ -28,7 +28,7 @@ def corpus1m():
     return big_corpus(1024 * 1024)
 
 
-@pytest.mark.parametrize("level", [1, 13, 19, 22])
+@pytest.mark.parametrize("level", [1, 2, 13, 19, 22])
 def test_size_le_reference_fast_paths(ref, corpus1m, level):
     ours = zstd_tpu.compress(corpus1m, level=level)
     assert zstd_tpu.decompress(ours) == corpus1m

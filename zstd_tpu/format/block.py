@@ -39,6 +39,8 @@ class BlockCState:
     # persistent native match-finder context (hash heads / suffix-BST),
     # carried across blocks so the window is never re-inserted per block
     opt_ctx: object = None
+    # persistent fast-class hash table (int32 positions, zstd_fast role)
+    fast_table: object = None
 
 
 @dataclasses.dataclass
@@ -148,24 +150,34 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
         return find_sequences_ldm(
             full, block_start, block_end, window_low, state.reps, cparams,
             ldm_ctx)
-    # ALL strategies route through the native DP parser with a
-    # strategy-scaled search depth (find_sequences_opt falls back to the
-    # Python lazy ladder when the native library is unavailable). For the
-    # fast class (levels 1-2) the DP is measured both FASTER than the
-    # vectorized-numpy greedy pass on host (Python overhead dominates, not
-    # algorithm) and ~16% smaller; ZSTD_TPU_HOST_PARSER=fast restores the
-    # greedy fast-class parse (also the apples-to-apples oracle for the
-    # device fast engines, which are greedy by design like zstd_fast.c).
+    # Strategy dispatch (ZSTD_selectBlockCompressor role):
+    # - fast class (strategy 1: levels 1-2 and --fast) -> native greedy
+    #   matchfinder (zstd_fast.c speed semantics, ~1000x the DP's rate,
+    #   sizes still <= the reference's at the same level);
+    # - everything else -> native DP parser with strategy-scaled depth
+    #   (find_sequences_opt; falls back to the Python lazy ladder without
+    #   the native library).
+    # ZSTD_TPU_HOST_PARSER overrides for the fast class: "dp" forces the
+    # ratio-maximal DP route (the old default), "fast" the vectorized-numpy
+    # greedy (the apples-to-apples oracle for the device fast engines).
     import os as _os
-    if cparams.strategy >= 2 or (
-            _os.environ.get("ZSTD_TPU_HOST_PARSER", "") != "fast"):
-        from .opt import find_sequences_opt
-        return find_sequences_opt(
+    override = _os.environ.get("ZSTD_TPU_HOST_PARSER", "")
+    if cparams.strategy == 1 and override != "dp":
+        if override == "fast":
+            return find_sequences(
+                full, block_start, block_end, window_low, state.reps,
+                hash_log=cparams.hash_log,
+                mls=min(max(cparams.min_match, 4), 8))
+        from .opt import find_sequences_fast
+        res = find_sequences_fast(
             full, block_start, block_end, window_low, state.reps, cparams,
             state=state)
-    return find_sequences(
-        full, block_start, block_end, window_low, state.reps,
-        hash_log=cparams.hash_log, mls=min(max(cparams.min_match, 4), 8))
+        if res is not None:
+            return res
+    from .opt import find_sequences_opt
+    return find_sequences_opt(
+        full, block_start, block_end, window_low, state.reps, cparams,
+        state=state)
 
 
 def compress_block_pieces(full, block_start, block_end, window_low, state,

@@ -407,6 +407,12 @@ def ctable_from_nbbits(nb_bits: np.ndarray, table_log: int) -> HufCTable:
 
 def huf_encode_1x(data: bytes, ct: HufCTable) -> bytes:
     """HUF_compress1X_usingCTable: symbols encoded last-to-first."""
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None:
+        r = nat.huf_encode(data, ct.nb_bits, ct.value)
+        if r is not None:
+            return r
     bw = BitWriter()
     nb = ct.nb_bits
     val = ct.value

@@ -15,6 +15,58 @@ from .lazy import find_sequences_lazy
 from .sequences import SeqStore
 
 
+def _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps):
+    """Gather the literal bytes (everything outside matches) in one
+    vectorized multi-range take instead of a per-sequence Python loop."""
+    n = len(ll)
+    if n == 0:
+        lits = full[block_start:block_end].tobytes()
+        return SeqStore(ll, ob, mb, lits), new_reps
+    steps = ll.astype(np.int64) + mb.astype(np.int64) + MIN_MATCH
+    starts = block_start + np.concatenate(
+        ([0], np.cumsum(steps[:-1])))          # literal-run starts
+    tail_start = int(starts[-1] + steps[-1])
+    lens = np.concatenate((ll.astype(np.int64),
+                           [block_end - tail_start]))
+    starts = np.concatenate((starts, [tail_start]))
+    total = int(lens.sum())
+    if total == 0:
+        return SeqStore(ll, ob, mb, b""), new_reps
+    offs = np.concatenate(([0], np.cumsum(lens[:-1])))
+    idx = np.arange(total, dtype=np.int64) + np.repeat(starts - offs, lens)
+    return SeqStore(ll, ob, mb, full[idx].tobytes()), new_reps
+
+
+def find_sequences_fast(full: np.ndarray, block_start: int, block_end: int,
+                        window_low: int, reps: tuple, cparams,
+                        state=None) -> tuple[SeqStore, tuple] | None:
+    """Greedy fast-class parse via the native matchfinder (zstd_fast.c
+    role; levels 1-2 and --fast). Returns None when the native library is
+    unavailable (caller falls back to the DP route)."""
+    nat = get_native()
+    if nat is None:
+        return None
+    hash_log = min(max(cparams.hash_log, 12), 22)
+    tab_n = 2 << hash_log           # 2-way buckets
+    if state is not None:
+        if state.fast_table is None or len(state.fast_table) != tab_n:
+            state.fast_table = np.full(tab_n, -1, dtype=np.int32)
+        table = state.fast_table
+    else:
+        table = np.full(tab_n, -1, dtype=np.int32)
+    # --fast=N (negative levels encode N in target_length): larger base step
+    step0 = max(1, -cparams.target_length if cparams.target_length < 0
+                else cparams.target_length if cparams.strategy == 1
+                and cparams.target_length > 0 else 1)
+    res = nat.fast_parse(full, window_low, block_start, block_end, reps,
+                         hash_log, 8, min(max(cparams.min_match, 5), 7),
+                         step0, table)
+    if res is None:
+        return None
+    ll, ob, mb, new_reps = res
+    return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)
+
+
 def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
                        window_low: int, reps: tuple, cparams,
                        state=None) -> tuple[SeqStore, tuple]:
@@ -35,11 +87,4 @@ def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
         return find_sequences_lazy(full, block_start, block_end, window_low,
                                    reps, cparams)
     ll, ob, mb, new_reps = res
-    parts = []
-    pos = block_start
-    for i in range(len(ll)):
-        l = int(ll[i])
-        parts.append(full[pos : pos + l].tobytes())
-        pos += l + int(mb[i]) + MIN_MATCH
-    parts.append(full[pos:block_end].tobytes())
-    return SeqStore(ll, ob, mb, b"".join(parts)), new_reps
+    return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)

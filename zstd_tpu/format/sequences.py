@@ -221,6 +221,14 @@ def encode_sequences(seqs: SeqStore, llc: np.ndarray, ofc: np.ndarray,
                      ct_ml: fse.CTable) -> bytes:
     n = seqs.nb_seq
     assert n > 0
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None:
+        r = nat.encode_sequences(seqs.lit_length, seqs.off_base, seqs.ml_base,
+                                 llc, ofc, mlc, LL_BITS, ML_BITS,
+                                 ct_ll, ct_of, ct_ml)
+        if r is not None:
+            return r
     bw = BitWriter()
     last = n - 1
     st_ml = fse.CState(ct_ml, int(mlc[last]))
@@ -378,7 +386,8 @@ def write_sequences_section(seqs: SeqStore, prev: FseEntropyState,
     n = seqs.nb_seq
     if n == 0:
         return write_nbseq_header(0), prev.copy()
-    llc, ofc, mlc = seq_to_codes(seqs)
+    llc, ofc, mlc = seq_to_codes_np(seqs.lit_length, seqs.off_base,
+                                    seqs.ml_base)
     header, nxt, last_count_size = build_sequences_header(
         llc, ofc, mlc, n, prev, strategy)
     bitstream = encode_sequences(seqs, llc, ofc, mlc,

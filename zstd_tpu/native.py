@@ -72,6 +72,22 @@ class _Native:
         lib.zt_decode_sequences.argtypes = [
             ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
             i32p, i32p, i32p, ctypes.c_int64]
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.zt_fast_parse.restype = ctypes.c_int64
+        lib.zt_fast_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p]
+        lib.zt_huf_encode.restype = ctypes.c_int64
+        lib.zt_huf_encode.argtypes = [
+            u8p, ctypes.c_int64, i32p, i32p, u8p, ctypes.c_int64]
+        lib.zt_encode_sequences.restype = ctypes.c_int64
+        lib.zt_encode_sequences.argtypes = [
+            ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, i32p, i64p, i64p,
+            ctypes.c_int, i32p, i64p, i64p,
+            ctypes.c_int, i32p, i64p, i64p,
+            u8p, ctypes.c_int64]
 
     def xxh64(self, data: bytes, seed: int = 0) -> int:
         return self._lib.zt_xxh64(data, len(data), seed)
@@ -139,6 +155,89 @@ class _Native:
         if n < 0:
             return None
         return ll[:n], ml[:n], off[:n]
+
+    def fast_parse(self, full, window_low: int, block_start: int,
+                   block_end: int, reps: tuple, hash_log: int,
+                   accel_log: int, mls: int, step0: int, table):
+        """Greedy fast-class parse of one block (zstd_fast.c role).
+        `table` is the persistent int32[1<<hash_log] position table (-1
+        empty) carried across a frame's blocks. Returns (ll, ob, mb,
+        new_reps) or None."""
+        import numpy as np
+        n = block_end - block_start
+        seq_cap = n // 4 + 16
+        ll = np.zeros(seq_cap, dtype=np.int32)
+        ob = np.zeros(seq_cap, dtype=np.int32)
+        mb = np.zeros(seq_cap, dtype=np.int32)
+        reps_arr = np.array(reps, dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        nseq = self._lib.zt_fast_parse(
+            full.ctypes.data_as(u8p), window_low, block_start, block_end,
+            reps_arr.ctypes.data_as(u32p),
+            ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
+            mb.ctypes.data_as(i32p), seq_cap,
+            hash_log, accel_log, mls, step0,
+            table.ctypes.data_as(i32p))
+        if nseq < 0:
+            return None
+        return (ll[:nseq], ob[:nseq], mb[:nseq],
+                (int(reps_arr[0]), int(reps_arr[1]), int(reps_arr[2])))
+
+    def huf_encode(self, data: bytes, nb, val) -> bytes | None:
+        """One Huffman stream, last-to-first (HUF_compress1X role).
+        nb/val: int32 canonical code table arrays."""
+        import numpy as np
+        n = len(data)
+        cap = 2 * n + 64
+        out = np.empty(cap, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        nb = np.ascontiguousarray(nb, dtype=np.int32)
+        val = np.ascontiguousarray(val, dtype=np.int32)
+        src = np.frombuffer(data, dtype=np.uint8)
+        r = self._lib.zt_huf_encode(
+            src.ctypes.data_as(u8p), n,
+            nb.ctypes.data_as(i32p), val.ctypes.data_as(i32p),
+            out.ctypes.data_as(u8p), cap)
+        if r < 0:
+            return None
+        return out[:r].tobytes()
+
+    def encode_sequences(self, ll, ob, mb, llc, ofc, mlc,
+                         ll_bits, ml_bits, ct_ll, ct_of, ct_ml):
+        """3-state interleaved FSE sequence bitstream in C
+        (ZSTD_encodeSequences_body role). Arrays are int32 numpy; ctables
+        are format.fse.CTable. Returns bytes or None (caller falls back)."""
+        import numpy as np
+        n = len(ll)
+        cap = 16 * n + 64
+        out = np.empty(cap, dtype=np.uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        # keep the contiguous copies alive across the call
+        arrs = [np.ascontiguousarray(x, dtype=np.int32)
+                for x in (ll, ob, mb, llc, ofc, mlc, ll_bits, ml_bits,
+                          ct_ll.state_table, ct_of.state_table,
+                          ct_ml.state_table)]
+        arrs64 = [np.ascontiguousarray(x, dtype=np.int64)
+                  for x in (ct_ll.delta_nb_bits, ct_ll.delta_find_state,
+                            ct_of.delta_nb_bits, ct_of.delta_find_state,
+                            ct_ml.delta_nb_bits, ct_ml.delta_find_state)]
+        p32 = [a.ctypes.data_as(i32p) for a in arrs]
+        p64 = [a.ctypes.data_as(i64p) for a in arrs64]
+        r = self._lib.zt_encode_sequences(
+            n, p32[0], p32[1], p32[2], p32[3], p32[4], p32[5], p32[6], p32[7],
+            ct_ll.table_log, p32[8], p64[0], p64[1],
+            ct_of.table_log, p32[9], p64[2], p64[3],
+            ct_ml.table_log, p32[10], p64[4], p64[5],
+            out.ctypes.data_as(u8p), cap)
+        if r < 0:
+            return None
+        return out[:r].tobytes()
 
     def opt_ctx(self):
         """Persistent match-finder context for one frame's blocks; freed on
