@@ -117,3 +117,22 @@ def test_fast_parse_honors_host_parser_override(monkeypatch):
     assert zstd_tpu.decompress(fast) == data
     assert zstd_tpu.decompress(dp) == data
     assert len(dp) <= len(fast)
+
+
+def test_dfast_greedy_mode_roundtrip(monkeypatch):
+    """ZSTD_TPU_HOST_PARSER=greedy routes levels 3-4 through the native
+    double-fast matchfinder (zstd_double_fast.c role)."""
+    if not have_ref():
+        pytest.skip("reference binary not built")
+    data = gen_text(500_000, seed=17)
+    monkeypatch.setenv("ZSTD_TPU_HOST_PARSER", "greedy")
+    for level in (3, 4):
+        blob = zstd_tpu.compress(data, level=level)
+        assert zstd_tpu.decompress(blob) == data
+        r = subprocess.run([REF_ZSTD, "-dc"], input=blob,
+                           capture_output=True, check=True)
+        assert r.stdout == data
+    monkeypatch.delenv("ZSTD_TPU_HOST_PARSER")
+    dp = zstd_tpu.compress(data, level=3)
+    assert zstd_tpu.decompress(dp) == data
+    assert len(dp) <= len(blob)          # DP stays the ratio-maximal route

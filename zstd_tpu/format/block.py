@@ -174,6 +174,16 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
             state=state)
         if res is not None:
             return res
+    if cparams.strategy in (2, 3) and override == "greedy":
+        # opt-in throughput mode for the dfast class: ~25 MB/s vs the
+        # DP's 0.1, at ~+0.7% vs the reference size (the DP default is
+        # -11.5%); zstd_double_fast.c role
+        from .opt import find_sequences_dfast
+        res = find_sequences_dfast(
+            full, block_start, block_end, window_low, state.reps, cparams,
+            state=state)
+        if res is not None:
+            return res
     from .opt import find_sequences_opt
     return find_sequences_opt(
         full, block_start, block_end, window_low, state.reps, cparams,

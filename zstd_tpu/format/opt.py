@@ -67,6 +67,33 @@ def find_sequences_fast(full: np.ndarray, block_start: int, block_end: int,
     return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)
 
 
+def find_sequences_dfast(full: np.ndarray, block_start: int, block_end: int,
+                         window_low: int, reps: tuple, cparams,
+                         state=None) -> tuple[SeqStore, tuple] | None:
+    """Double-fast greedy parse via the native matchfinder
+    (zstd_double_fast.c role; levels 3-4)."""
+    nat = get_native()
+    if nat is None:
+        return None
+    hlog_long = min(max(cparams.hash_log, 14), 22)
+    hlog_short = min(max(cparams.chain_log, 13), 21)
+    need = (2 << hlog_long) + (2 << hlog_short)
+    if state is not None:
+        if state.fast_table is None or len(state.fast_table) != need:
+            state.fast_table = np.full(need, -1, dtype=np.int32)
+        buf = state.fast_table
+    else:
+        buf = np.full(need, -1, dtype=np.int32)
+    tl = buf[: 2 << hlog_long]
+    ts = buf[2 << hlog_long :]
+    res = nat.dfast_parse(full, window_low, block_start, block_end, reps,
+                          hlog_long, hlog_short, 8, tl, ts)
+    if res is None:
+        return None
+    ll, ob, mb, new_reps = res
+    return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)
+
+
 def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
                        window_low: int, reps: tuple, cparams,
                        state=None) -> tuple[SeqStore, tuple]:

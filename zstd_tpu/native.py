@@ -81,6 +81,11 @@ class _Native:
         lib.zt_huf_encode.restype = ctypes.c_int64
         lib.zt_huf_encode.argtypes = [
             u8p, ctypes.c_int64, i32p, i32p, u8p, ctypes.c_int64]
+        lib.zt_dfast_parse.restype = ctypes.c_int64
+        lib.zt_dfast_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p]
         lib.zt_encode_sequences.restype = ctypes.c_int64
         lib.zt_encode_sequences.argtypes = [
             ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
@@ -181,6 +186,36 @@ class _Native:
             mb.ctypes.data_as(i32p), seq_cap,
             hash_log, accel_log, mls, step0,
             table.ctypes.data_as(i32p))
+        if nseq < 0:
+            return None
+        return (ll[:nseq], ob[:nseq], mb[:nseq],
+                (int(reps_arr[0]), int(reps_arr[1]), int(reps_arr[2])))
+
+    def dfast_parse(self, full, window_low: int, block_start: int,
+                    block_end: int, reps: tuple, hlog_long: int,
+                    hlog_short: int, accel_log: int, table_long,
+                    table_short):
+        """Double-fast greedy parse (zstd_double_fast.c role): long 8-byte
+        + short 5-byte hash tables, both persistent 2-way buckets."""
+        import numpy as np
+        n = block_end - block_start
+        seq_cap = n // 4 + 16
+        ll = np.zeros(seq_cap, dtype=np.int32)
+        ob = np.zeros(seq_cap, dtype=np.int32)
+        mb = np.zeros(seq_cap, dtype=np.int32)
+        reps_arr = np.array(reps, dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        nseq = self._lib.zt_dfast_parse(
+            full.ctypes.data_as(u8p), window_low, block_start, block_end,
+            reps_arr.ctypes.data_as(u32p),
+            ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
+            mb.ctypes.data_as(i32p), seq_cap,
+            hlog_long, hlog_short, accel_log,
+            table_long.ctypes.data_as(i32p),
+            table_short.ctypes.data_as(i32p))
         if nseq < 0:
             return None
         return (ll[:nseq], ob[:nseq], mb[:nseq],
