@@ -123,47 +123,113 @@ print(json.dumps({
 '''
 
 
+# Host-native fallback measurement, used only when the TPU tunnel is
+# unreachable after all attempts: the host C fast path (native/fast.c
+# matchfinder + native/encode.c entropy loops) is jax-free and measures
+# the same pinned corpus, so the driver records a real number with an
+# honest engine label instead of 0.0.
+_HOST_INNER = r'''
+import json, os, sys, time
+sys.path.insert(0, os.environ["ZSTD_TPU_REPO"])
+sys.path.insert(0, os.path.join(os.environ["ZSTD_TPU_REPO"], "tests"))
+import zstd_tpu
+from bigcorpus import big_corpus
+total = int(os.environ.get("BENCH_MB", "16")) * 1024 * 1024
+data = big_corpus(total)
+blob = zstd_tpu.compress(data[: 1 << 20], level=1, checksum=False)  # warm
+assert zstd_tpu.decompress(blob) == data[: 1 << 20]
+t_best = float("inf")
+for r in range(int(os.environ.get("BENCH_REPS", "3"))):
+    t0 = time.time()
+    blob = zstd_tpu.compress(data, level=1, checksum=False)
+    t_best = min(t_best, time.time() - t0)
+mbps = total / t_best / 1e6
+t_dec = float("inf")
+for r in range(3):
+    t0 = time.time()
+    out = zstd_tpu.decompress(blob)
+    t_dec = min(t_dec, time.time() - t0)
+assert out == data
+dec_mbps = total / t_dec / 1e6
+print(json.dumps({
+    "metric": "encode_throughput_level1",
+    "value": round(mbps, 2),
+    "unit": "MB/s",
+    "vs_baseline": round(mbps / 510.0, 4),
+    "ratio": round(total / len(blob), 3),
+    "decode_mbps": round(dec_mbps, 1),
+    "decode_vs_baseline": round(dec_mbps / 1580.0, 4),
+    "engine": "host_native_cpu",
+    "note": "tpu tunnel unavailable; host C path measured instead",
+}))
+'''
+
+
+def _run_child(inner, env, silence_limit, init_limit=None):
+    """Run one measurement child under a heartbeat watchdog.
+
+    init_limit, when set, is a shorter silence limit that applies until the
+    child reports device contact (its 'devices' heartbeat) — a tunnel wedged
+    at init produces silence right after 'importing', and waiting the full
+    compile-sized limit for that case wastes most of the driver's window.
+    """
+    p = subprocess.Popen([sys.executable, "-u", "-c", inner],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env)
+    last = [time.time()]
+    json_line = [None]
+    dev_seen = [init_limit is None]
+
+    def pump_err():
+        for line in p.stderr:
+            last[0] = time.time()
+            if "devices" in line:
+                dev_seen[0] = True
+            sys.stderr.write(line)
+            sys.stderr.flush()
+
+    def pump_out():
+        for line in p.stdout:
+            last[0] = time.time()
+            if line.strip().startswith("{"):
+                json_line[0] = line.strip()
+
+    te = threading.Thread(target=pump_err, daemon=True)
+    to = threading.Thread(target=pump_out, daemon=True)
+    te.start(); to.start()
+    while p.poll() is None:
+        limit = silence_limit if dev_seen[0] else init_limit
+        if time.time() - last[0] > limit:
+            print("[bench] heartbeat timeout (%s); killing child"
+                  % ("steady" if dev_seen[0] else "init"),
+                  file=sys.stderr, flush=True)
+            p.kill()
+            break
+        time.sleep(2)
+    p.wait()
+    te.join(timeout=5); to.join(timeout=5)
+    return p.returncode, json_line[0]
+
+
 def main():
     env = dict(os.environ)
     env["ZSTD_TPU_REPO"] = REPO
     attempts = int(os.environ.get("BENCH_ATTEMPTS", "4"))
     silence_limit = float(os.environ.get("BENCH_HB_TIMEOUT", "1500"))
+    init_limit = float(os.environ.get("BENCH_INIT_TIMEOUT", "240"))
     for attempt in range(attempts):
         print(f"[bench] attempt {attempt}", file=sys.stderr, flush=True)
-        p = subprocess.Popen([sys.executable, "-u", "-c", _INNER],
-                             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                             text=True, env=env)
-        last = [time.time()]
-        json_line = [None]
-
-        def pump_err():
-            for line in p.stderr:
-                last[0] = time.time()
-                sys.stderr.write(line)
-                sys.stderr.flush()
-
-        def pump_out():
-            for line in p.stdout:
-                last[0] = time.time()
-                if line.strip().startswith("{"):
-                    json_line[0] = line.strip()
-
-        te = threading.Thread(target=pump_err, daemon=True)
-        to = threading.Thread(target=pump_out, daemon=True)
-        te.start(); to.start()
-        while p.poll() is None:
-            if time.time() - last[0] > silence_limit:
-                print("[bench] heartbeat timeout; killing child",
-                      file=sys.stderr, flush=True)
-                p.kill()
-                break
-            time.sleep(2)
-        p.wait()
-        te.join(timeout=5); to.join(timeout=5)
-        if p.returncode == 0 and json_line[0]:
-            print(json_line[0])
+        rc, line = _run_child(_INNER, env, silence_limit, init_limit)
+        if rc == 0 and line:
+            print(line)
             return 0
         time.sleep(5)
+    print("[bench] tpu unavailable; measuring host-native fallback",
+          file=sys.stderr, flush=True)
+    rc, line = _run_child(_HOST_INNER, env, silence_limit=600)
+    if rc == 0 and line:
+        print(line)
+        return 0
     print(json.dumps({
         "metric": "encode_throughput_level1", "value": 0.0, "unit": "MB/s",
         "vs_baseline": 0.0, "error": "tpu tunnel unavailable"}))
