@@ -119,3 +119,71 @@ int64_t zt_huf_encode(const uint8_t* data, int64_t n,
     }
     return bw_close(&b, out);
 }
+
+/* FSE compression-table construction (FSE_buildCTable role). Replicates
+ * the Python build exactly (format/fse.py build_ctable + _spread_symbols:
+ * low-prob symbols at the highest states, 5/8*size+3 spread step) so the
+ * resulting bitstream is byte-identical whichever side builds the table.
+ * Returns 0, or -1 when the spread does not close (invalid norm). */
+int64_t zt_fse_build_ctable(const int32_t* norm, int max_symbol,
+                            int table_log,
+                            int32_t* state_table,   /* [1<<table_log] */
+                            int64_t* delta_nb,      /* [max_symbol+1] */
+                            int64_t* delta_fs)      /* [max_symbol+1] */
+{
+    int table_size = 1 << table_log;
+    int table_mask = table_size - 1;
+    int step = (table_size >> 1) + (table_size >> 3) + 3;
+    int32_t spread[1 << 12];
+    if (table_log > 12) return -1;
+    int high_threshold = table_size - 1;
+    for (int s = 0; s <= max_symbol; s++)
+        if (norm[s] == -1) spread[high_threshold--] = s;
+    {
+        int position = 0;
+        for (int s = 0; s <= max_symbol; s++) {
+            for (int c = 0; c < norm[s]; c++) {
+                spread[position] = s;
+                position = (position + step) & table_mask;
+                while (position > high_threshold)
+                    position = (position + step) & table_mask;
+            }
+        }
+        if (position != 0) return -1;
+    }
+    {
+        int64_t cumul[260];
+        cumul[0] = 0;
+        for (int u = 1; u <= max_symbol + 1; u++) {
+            int prev = norm[u - 1];
+            cumul[u] = cumul[u - 1] + (prev == -1 ? 1 : prev);
+        }
+        cumul[max_symbol + 1] = table_size + 1;
+        for (int u = 0; u < table_size; u++) {
+            int s = spread[u];
+            state_table[cumul[s]++] = (int32_t)(table_size + u);
+        }
+    }
+    {
+        int64_t total = 0;
+        for (int s = 0; s <= max_symbol; s++) {
+            int p = norm[s];
+            if (p == 0) {
+                delta_nb[s] = ((int64_t)(table_log + 1) << 16) - table_size;
+                delta_fs[s] = 0;
+            } else if (p == -1 || p == 1) {
+                delta_nb[s] = ((int64_t)table_log << 16) - table_size;
+                delta_fs[s] = total - 1;
+                total += 1;
+            } else {
+                int hb = 31 - __builtin_clz((uint32_t)(p - 1));
+                int max_bits_out = table_log - hb;
+                int64_t min_state_plus = (int64_t)p << max_bits_out;
+                delta_nb[s] = ((int64_t)max_bits_out << 16) - min_state_plus;
+                delta_fs[s] = total - p;
+                total += p;
+            }
+        }
+    }
+    return 0;
+}

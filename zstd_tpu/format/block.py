@@ -131,7 +131,7 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
             return bytes(src[:1]), 1, state
         return raw
 
-    nxt = BlockCState(next_huf, next_fse, new_reps, state.opt_ctx)
+    nxt = BlockCState(next_huf, next_fse, new_reps, state.opt_ctx, state.fast_table)
     return payload, 2, nxt
 
 
@@ -154,12 +154,18 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
     # - fast class (strategy 1: levels 1-2 and --fast) -> native greedy
     #   matchfinder (zstd_fast.c speed semantics, ~1000x the DP's rate,
     #   sizes still <= the reference's at the same level);
+    # - dfast class (strategy 2: levels 3-4) -> native hash-chain lazy
+    #   matchfinder (zstd_lazy.c class): ~19 MB/s AND -0.5% vs the
+    #   reference at level 3 on the pinned corpus (the DP was -11.5% but
+    #   0.1 MB/s; ZSTD_TPU_HOST_PARSER=dp restores it);
     # - everything else -> native DP parser with strategy-scaled depth
     #   (find_sequences_opt; falls back to the Python lazy ladder without
     #   the native library).
-    # ZSTD_TPU_HOST_PARSER overrides for the fast class: "dp" forces the
-    # ratio-maximal DP route (the old default), "fast" the vectorized-numpy
-    # greedy (the apples-to-apples oracle for the device fast engines).
+    # ZSTD_TPU_HOST_PARSER overrides: "dp" forces the ratio-maximal DP
+    # route everywhere, "fast" the vectorized-numpy greedy (the
+    # apples-to-apples oracle for the device fast engines), "lazy" routes
+    # strategies 2-5 through the chain-lazy matchfinder, "greedy" the
+    # dfast-class levels through the double-fast greedy.
     import os as _os
     override = _os.environ.get("ZSTD_TPU_HOST_PARSER", "")
     if cparams.strategy == 1 and override != "dp":
@@ -170,6 +176,17 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
                 mls=min(max(cparams.min_match, 4), 8))
         from .opt import find_sequences_fast
         res = find_sequences_fast(
+            full, block_start, block_end, window_low, state.reps, cparams,
+            state=state)
+        if res is not None:
+            return res
+    if ((cparams.strategy == 2 and override not in ("dp", "greedy"))
+            or (3 <= cparams.strategy <= 5 and override == "lazy")):
+        # hash-chain lazy matchfinder (zstd_lazy.c class): default for
+        # the dfast-class levels (3-4), opt-in for 5-12 where the DP's
+        # ratio edge (-8%) still wins the default
+        from .opt import find_sequences_chainlazy
+        res = find_sequences_chainlazy(
             full, block_start, block_end, window_low, state.reps, cparams,
             state=state)
         if res is not None:
@@ -235,7 +252,7 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
             return [(bytes(src[:1]), BT_RLE, n)], state
         return raw_piece, state
     whole = ([(whole_payload, BT_COMPRESSED, n)],
-             BlockCState(whole_huf, whole_fse, new_reps, state.opt_ctx))
+             BlockCState(whole_huf, whole_fse, new_reps, state.opt_ctx, state.fast_table))
 
     if n < 32768 and not target_cblock_size:
         return whole
@@ -289,10 +306,10 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
             if len(payload) >= clen:
                 return whole
             pieces.append((payload, BT_COMPRESSED, clen))
-            st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx)
+            st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table)
             total += clen
             a = b
-        return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx)
+        return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table)
     pts = split_points(seqs, target_cblock_size=target_cblock_size)
     if not pts:
         return whole
@@ -312,14 +329,14 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         if len(payload) >= clen:
             return whole
         pieces.append((payload, BT_COMPRESSED, clen))
-        st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx)
+        st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table)
         total += clen
     if (not target_cblock_size
             and sum(len(p) for p, _, _ in pieces) >= len(whole_payload)):
         # entropy-driven splitting must pay for itself; target-size
         # (superblock) splitting buys latency instead and keeps the split
         return whole
-    return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx)
+    return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table)
 
 
 def decompress_block(payload: bytes, out: bytearray, window_low: int,

@@ -136,9 +136,9 @@ def _split_points(full: np.ndarray, bs: int, be: int,
     if nch < 2:
         return []
     v = (full[bs : bs + nch * chunk] >> 2).reshape(nch, chunk)
-    hists = np.zeros((nch, 64), dtype=np.int64)
-    for c in range(nch):  # 32 chunks max per 128K block: cheap
-        hists[c] = np.bincount(v[c], minlength=64)
+    # one bincount over (chunk_id << 6 | bucket) does all chunks at once
+    idx = (np.arange(nch, dtype=np.int64)[:, None] << 6) | v.astype(np.int64)
+    hists = np.bincount(idx.ravel(), minlength=nch * 64).reshape(nch, 64)
     splits = []
     seg_hist = hists[0].astype(np.float64)
     seg_n = 1

@@ -401,6 +401,12 @@ class CTable:
 
 
 def build_ctable(norm: np.ndarray, max_symbol: int, table_log: int) -> CTable:
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None and table_log <= 12:
+        res = nat.fse_build_ctable(norm, max_symbol, table_log)
+        if res is not None:
+            return CTable(table_log, max_symbol, *res)
     table_size = 1 << table_log
     spread, _ = _spread_symbols(norm, table_log)
 

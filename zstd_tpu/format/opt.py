@@ -94,6 +94,59 @@ def find_sequences_dfast(full: np.ndarray, block_start: int, block_end: int,
     return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)
 
 
+def find_sequences_chainlazy(full: np.ndarray, block_start: int,
+                             block_end: int, window_low: int, reps: tuple,
+                             cparams, state=None,
+                             ) -> tuple[SeqStore, tuple] | None:
+    """Hash-chain lazy parse via the native matchfinder (zstd_lazy.c
+    greedy/lazy/lazy2 role; mid levels). Depth = 2^search_log attempts,
+    lazy deferral steps scale with strategy."""
+    nat = get_native()
+    if nat is None:
+        return None
+    hash_log = min(max(cparams.hash_log, 14), 24)
+    chain_log = min(max(cparams.chain_log, 14), 26)
+    strat = cparams.strategy
+    if strat <= 2:            # dfast-class levels routed here (default):
+        # mls=4 (hash the minimum-match width; short matches carry this
+        # corpus class) + depth scaling with the level's chain budget:
+        # L3 -1.5% / L4 -0.3% vs the reference at ~10-19 MB/s
+        depth = 32 if cparams.chain_log <= 16 else 64
+        defer, mls = 2, 4
+    else:                     # greedy/lazy/lazy2: 0/1/2 deferral steps
+        depth = 2 << min(max(cparams.search_log, 3), 8)
+        defer = min(max(strat - 3, 0), 2)
+        mls = min(max(cparams.min_match, 4), 7)
+    import os as _os
+    depth = int(_os.environ.get("ZSTD_TPU_LAZY_DEPTH", depth))
+    defer = int(_os.environ.get("ZSTD_TPU_LAZY_DEFER", defer))
+    mls = int(_os.environ.get("ZSTD_TPU_LAZY_MLS", mls))
+    need = (1 << hash_log) + (1 << chain_log)
+    fresh = True
+    if state is not None:
+        if state.fast_table is None or len(state.fast_table) != need:
+            state.fast_table = np.full(need, -1, dtype=np.int32)
+        else:
+            fresh = False
+        buf = state.fast_table
+    else:
+        buf = np.full(need, -1, dtype=np.int32)
+    head = buf[: 1 << hash_log]
+    chain = buf[1 << hash_log :]
+    if fresh and block_start > window_low:
+        # index the dictionary / window prefix so the parse can match
+        # into it (the DP route gets this from its own fill)
+        nat.lazy_fill(full, window_low, block_start, hash_log, chain_log,
+                      mls, head, chain)
+    res = nat.lazy_parse(full, window_low, block_start, block_end, reps,
+                         hash_log, chain_log, mls,
+                         depth, defer, 8, head, chain)
+    if res is None:
+        return None
+    ll, ob, mb, new_reps = res
+    return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)
+
+
 def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
                        window_low: int, reps: tuple, cparams,
                        state=None) -> tuple[SeqStore, tuple]:

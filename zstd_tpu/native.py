@@ -86,6 +86,19 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.zt_fse_build_ctable.restype = ctypes.c_int64
+        lib.zt_fse_build_ctable.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, i32p, i64p, i64p]
+        lib.zt_lazy_fill.restype = None
+        lib.zt_lazy_fill.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.zt_lazy_parse.restype = ctypes.c_int64
+        lib.zt_lazy_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i32p, i32p]
         lib.zt_encode_sequences.restype = ctypes.c_int64
         lib.zt_encode_sequences.argtypes = [
             ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
@@ -216,6 +229,76 @@ class _Native:
             hlog_long, hlog_short, accel_log,
             table_long.ctypes.data_as(i32p),
             table_short.ctypes.data_as(i32p))
+        if nseq < 0:
+            return None
+        return (ll[:nseq], ob[:nseq], mb[:nseq],
+                (int(reps_arr[0]), int(reps_arr[1]), int(reps_arr[2])))
+
+    def lazy_parse(self, full, window_low: int, block_start: int,
+                   block_end: int, reps: tuple, hash_log: int,
+                   chain_log: int, mls: int, depth: int, defer: int,
+                   accel_log: int, head, chain):
+        """Hash-chain lazy parse (zstd_lazy.c greedy/lazy/lazy2 role):
+        depth-bounded chain search at every position plus 0-2 step lazy
+        deferral. head int32[1<<hash_log] (-1 empty) and chain
+        int32[1<<chain_log] persist across a frame's blocks."""
+        return self._lazy_call(full, window_low, block_start, block_end,
+                               reps, hash_log, chain_log, mls, depth,
+                               defer, accel_log, head, chain)
+
+    def fse_build_ctable(self, norm, max_symbol: int, table_log: int):
+        """FSE_buildCTable role; byte-identical layout to the Python
+        builder (format/fse.py). Returns (state_table, delta_nb, delta_fs)
+        or None on invalid norm."""
+        import numpy as np
+        state_table = np.empty(1 << table_log, dtype=np.int32)
+        delta_nb = np.empty(max_symbol + 1, dtype=np.int64)
+        delta_fs = np.empty(max_symbol + 1, dtype=np.int64)
+        norm32 = np.ascontiguousarray(norm[: max_symbol + 1],
+                                      dtype=np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        rc = self._lib.zt_fse_build_ctable(
+            norm32.ctypes.data_as(i32p), max_symbol, table_log,
+            state_table.ctypes.data_as(i32p),
+            delta_nb.ctypes.data_as(i64p), delta_fs.ctypes.data_as(i64p))
+        if rc != 0:
+            return None
+        return state_table, delta_nb, delta_fs
+
+    def lazy_fill(self, full, start: int, end: int, hash_log: int,
+                  chain_log: int, mls: int, head, chain):
+        """Index [start, end) (dictionary/window prefix) into the lazy
+        matchfinder's head+chain tables (dictMatchState-loading role)."""
+        import numpy as np
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.zt_lazy_fill(
+            full.ctypes.data_as(u8p), start, end, hash_log, chain_log, mls,
+            head.ctypes.data_as(i32p), chain.ctypes.data_as(i32p))
+
+    def _lazy_call(self, full, window_low, block_start, block_end, reps,
+                   hash_log, chain_log, mls, depth, defer, accel_log,
+                   head, chain):
+        import numpy as np
+        n = block_end - block_start
+        seq_cap = n // 4 + 16
+        ll = np.zeros(seq_cap, dtype=np.int32)
+        ob = np.zeros(seq_cap, dtype=np.int32)
+        mb = np.zeros(seq_cap, dtype=np.int32)
+        reps_arr = np.array(reps, dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        nseq = self._lib.zt_lazy_parse(
+            full.ctypes.data_as(u8p), window_low, block_start, block_end,
+            reps_arr.ctypes.data_as(u32p),
+            ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
+            mb.ctypes.data_as(i32p), seq_cap,
+            hash_log, chain_log, mls, depth, defer, accel_log,
+            head.ctypes.data_as(i32p), chain.ctypes.data_as(i32p))
         if nseq < 0:
             return None
         return (ll[:nseq], ob[:nseq], mb[:nseq],
