@@ -187,3 +187,106 @@ int64_t zt_fse_build_ctable(const int32_t* norm, int max_symbol,
     }
     return 0;
 }
+
+/* 2-state alternating FSE byte stream (FSE_compress_usingCTable role;
+ * format/fse.py fse_compress_2state mirror — used for Huffman weight
+ * compression). Returns stream length, 0 for "not compressible here"
+ * (n <= 2), -1 on buffer overflow. */
+int64_t zt_fse_compress_2state(const uint8_t* data, int64_t n,
+                               int table_log, const int32_t* st,
+                               const int64_t* dnb, const int64_t* dfs,
+                               uint8_t* out, int64_t out_cap)
+{
+    if (n <= 2) return 0;
+    BW b = {0, 0, out, out + out_cap};
+    CSt c1 = {0, table_log, st, dnb, dfs};
+    CSt c2 = {0, table_log, st, dnb, dfs};
+    int64_t ip = n;
+    if (n & 1) {
+        cs_init(&c1, data[--ip]);
+        cs_init(&c2, data[--ip]);
+        cs_encode(&c1, &b, data[--ip]);
+    } else {
+        cs_init(&c2, data[--ip]);
+        cs_init(&c1, data[--ip]);
+    }
+    while (ip > 0) {
+        cs_encode(&c2, &b, data[--ip]);
+        cs_encode(&c1, &b, data[--ip]);
+    }
+    bw_add(&b, (uint64_t)c2.value, table_log);
+    bw_add(&b, (uint64_t)c1.value, table_log);
+    return bw_close(&b, out);
+}
+
+/* Entropy-divergence pre-split inside one block (format/frame.py
+ * _split_points mirror in exact integer arithmetic: the float condition
+ * sum|seg/segn/chunk - cur/chunk|/2 > 0.35 is evaluated as
+ * 10*sum|seg - segn*cur| > 7*segn*chunk). Returns number of interior
+ * split offsets written to out (absolute positions). */
+int64_t zt_split_points(const uint8_t* base, int64_t bs, int64_t be,
+                        int64_t chunk, int64_t min_seg,
+                        int64_t* out, int64_t out_cap)
+{
+    int64_t n = be - bs;
+    if (n < 2 * min_seg) return 0;
+    int64_t nch = n / chunk;
+    if (nch < 2) return 0;
+    int64_t seg[64], cur[64];
+    int64_t segn = 0, k = 0;
+    for (int i = 0; i < 64; i++) seg[i] = 0;
+    for (int64_t c = 0; c < nch; c++) {
+        for (int i = 0; i < 64; i++) cur[i] = 0;
+        const uint8_t* p = base + bs + c * chunk;
+        for (int64_t j = 0; j < chunk; j++) cur[p[j] >> 2]++;
+        if (c == 0) {
+            for (int i = 0; i < 64; i++) seg[i] = cur[i];
+            segn = 1;
+            continue;
+        }
+        int64_t div = 0;
+        for (int i = 0; i < 64; i++) {
+            int64_t d = seg[i] - segn * cur[i];
+            div += d < 0 ? -d : d;
+        }
+        int64_t off = c * chunk;
+        if (10 * div > 7 * segn * chunk && off >= min_seg
+            && n - off >= min_seg && k < out_cap) {
+            out[k++] = bs + off;
+            for (int i = 0; i < 64; i++) seg[i] = cur[i];
+            segn = 1;
+        } else {
+            for (int i = 0; i < 64; i++) seg[i] += cur[i];
+            segn++;
+        }
+    }
+    return k;
+}
+
+/* 4-stream Huffman literal section body (HUF_compress4X_usingCTable
+ * role): 6-byte jump table + 4 streams in one call. Returns total
+ * length, -1 when any stream overflows caps or format limits (caller
+ * falls back to 1-stream / raw). */
+int64_t zt_huf_encode4(const uint8_t* data, int64_t n,
+                       const int32_t* nb, const int32_t* val,
+                       uint8_t* out, int64_t out_cap)
+{
+    if (n < 12) return -1;
+    int64_t seg = (n + 3) / 4;
+    int64_t sizes[4];
+    uint8_t* p = out + 6;
+    for (int s = 0; s < 4; s++) {
+        int64_t lo = s * seg;
+        int64_t hi = lo + seg < n ? lo + seg : n;
+        int64_t cap_left = (out + out_cap) - p;
+        int64_t len = zt_huf_encode(data + lo, hi - lo, nb, val, p, cap_left);
+        if (len <= 0 || (s < 3 && len > 65535)) return -1;
+        sizes[s] = len;
+        p += len;
+    }
+    for (int s = 0; s < 3; s++) {
+        out[2 * s] = (uint8_t)(sizes[s] & 0xFF);
+        out[2 * s + 1] = (uint8_t)((sizes[s] >> 8) & 0xFF);
+    }
+    return (int64_t)(p - out);
+}

@@ -135,6 +135,12 @@ def _split_points(full: np.ndarray, bs: int, be: int,
     nch = n // chunk
     if nch < 2:
         return []
+    if threshold == 0.35:
+        from ..native import get_native
+        nat = get_native()
+        if nat is not None:
+            # exact-integer native mirror of the loop below
+            return nat.split_points(full, bs, be, chunk, min_seg)
     v = (full[bs : bs + nch * chunk] >> 2).reshape(nch, chunk)
     # one bincount over (chunk_id << 6 | bucket) does all chunks at once
     idx = (np.arange(nch, dtype=np.int64)[:, None] << 6) | v.astype(np.int64)

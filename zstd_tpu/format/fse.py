@@ -482,6 +482,12 @@ def fse_compress_2state(data: bytes, ct: CTable) -> bytes:
     n = len(data)
     if n <= 2:
         return b""
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None:
+        r = nat.fse_compress_2state(data, ct)
+        if r is not None:
+            return r
     bw = BitWriter()
     ip = n
     if n & 1:

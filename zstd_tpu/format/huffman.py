@@ -451,6 +451,12 @@ def huf_encode_4x(data: bytes, ct: HufCTable) -> bytes | None:
     n = len(data)
     if n < 12:
         return None
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None:
+        r = nat.huf_encode4(data, ct.nb_bits, ct.value)
+        if r is not None:
+            return r
     seg = (n + 3) // 4
     parts = [data[i * seg : min((i + 1) * seg, n)] for i in range(4)]
     streams = [huf_encode_1x(p, ct) for p in parts]

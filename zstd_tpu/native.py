@@ -86,6 +86,17 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.zt_fse_compress_2state.restype = ctypes.c_int64
+        lib.zt_fse_compress_2state.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, i32p, i64p, i64p,
+            u8p, ctypes.c_int64]
+        lib.zt_split_points.restype = ctypes.c_int64
+        lib.zt_split_points.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i64p, ctypes.c_int64]
+        lib.zt_huf_encode4.restype = ctypes.c_int64
+        lib.zt_huf_encode4.argtypes = [
+            u8p, ctypes.c_int64, i32p, i32p, u8p, ctypes.c_int64]
         lib.zt_fse_build_ctable.restype = ctypes.c_int64
         lib.zt_fse_build_ctable.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, i32p, i64p, i64p]
@@ -245,6 +256,60 @@ class _Native:
         return self._lazy_call(full, window_low, block_start, block_end,
                                reps, hash_log, chain_log, mls, depth,
                                defer, accel_log, head, chain)
+
+    def fse_compress_2state(self, data: bytes, ct) -> bytes | None:
+        """FSE_compress_usingCTable role (2 alternating states); mirrors
+        format/fse.py fse_compress_2state byte-exactly."""
+        import numpy as np
+        n = len(data)
+        if n <= 2:
+            return b""
+        cap = 2 * n + 64
+        out = np.empty(cap, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        ln = self._lib.zt_fse_compress_2state(
+            ctypes.cast(ctypes.c_char_p(data), u8p), n, ct.table_log,
+            ct.state_table.ctypes.data_as(i32p),
+            ct.delta_nb_bits.ctypes.data_as(i64p),
+            ct.delta_find_state.ctypes.data_as(i64p),
+            out.ctypes.data_as(u8p), cap)
+        if ln < 0:
+            return None
+        return out[:ln].tobytes()
+
+    def split_points(self, full, bs: int, be: int, chunk: int,
+                     min_seg: int) -> list[int]:
+        """Entropy-divergence pre-split (format/frame.py _split_points
+        mirror, exact integer arithmetic)."""
+        import numpy as np
+        cap = max((be - bs) // max(min_seg, 1) + 4, 8)
+        out = np.empty(cap, dtype=np.int64)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        k = self._lib.zt_split_points(
+            full.ctypes.data_as(u8p), bs, be, chunk, min_seg,
+            out.ctypes.data_as(i64p), cap)
+        return [int(x) for x in out[:k]]
+
+    def huf_encode4(self, data: bytes, nb, val) -> bytes | None:
+        """HUF_compress4X_usingCTable role: jump table + 4 streams in one
+        native call."""
+        import numpy as np
+        n = len(data)
+        cap = 2 * n + 256
+        out = np.empty(cap, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        ln = self._lib.zt_huf_encode4(
+            ctypes.cast(ctypes.c_char_p(data), u8p), n,
+            nb.ctypes.data_as(i32p), val.ctypes.data_as(i32p),
+            out.ctypes.data_as(u8p), cap)
+        if ln < 0:
+            return None
+        return out[:ln].tobytes()
 
     def fse_build_ctable(self, norm, max_symbol: int, table_log: int):
         """FSE_buildCTable role; byte-identical layout to the Python
