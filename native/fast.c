@@ -82,6 +82,12 @@ int64_t zt_fast_parse(const uint8_t* base, int64_t window_low,
                 rcode = 1;
                 rml = 4 + ext_fwd(base + ip + 5, base + ip + 1 - rep0 + 4,
                                   base + block_end);
+            } else if (ip + 2 - rep0 >= window_low && ip + 2 < block_end - 12
+                       && rd32(base + ip + 2) == rd32(base + ip + 2 - rep0)) {
+                rstart = ip + 2;
+                rcode = 1;
+                rml = 4 + ext_fwd(base + ip + 6, base + ip + 2 - rep0 + 4,
+                                  base + block_end);
             }
         }
         if (rep1 > 0 && rml == 0 && ip > anchor && ip - rep1 >= window_low
@@ -106,9 +112,17 @@ int64_t zt_fast_parse(const uint8_t* base, int64_t window_low,
 
         int64_t mstart, msrc, ml;
         int is_rep;
-        /* a new-offset match must clear the repcode by a margin: the rep
-           costs ~1 bit of offset payload vs highbit(off) bits */
-        if (rml > 0 && (tml <= rml + 2 || tsrc < 0)) {
+        int take_rep = 0;
+        if (rml > 0) {
+            if (tsrc < 0) take_rep = 1;
+            else {
+                /* price-aware: a new offset must pay its ~highbit(off)
+                   extra header bits with ~3 bits/byte of extra length */
+                int hb = 63 - __builtin_clzll((uint64_t)(ip - tsrc) | 1);
+                take_rep = (3 * (tml - rml) <= hb + 1);
+            }
+        }
+        if (take_rep) {
             mstart = rstart;
             msrc = rstart - (rcode == 1 ? rep0 : rep1);
             ml = rml;
@@ -162,18 +176,34 @@ int64_t zt_fast_parse(const uint8_t* base, int64_t window_low,
            2-way buckets keep older entries reachable, so extra inserts
            buy discovery instead of evicting it) */
         if (ip < block_end - 12) {
-            int64_t stop = ip - 2;
-            int ins = 0;
-            for (int64_t j = mstart + 1; j <= stop && ins < 16; j += 2, ins++) {
+            /* full-density seeding: every interior position enters its
+               bucket, so the table is the dense prev-same-bucket
+               structure (the numpy oracle's candidate model) — on
+               periodic data sparse seeding misses the nearest occurrence
+               and commits far/expensive offsets instead */
+            for (int64_t j = mstart + 1; j < ip; j++) {
                 uint32_t hj = hash_mls(base + j, mls, hash_log);
                 table[2 * hj + 1] = table[2 * hj];
                 table[2 * hj] = (int32_t)j;
             }
-            if (stop > mstart) {
-                uint32_t h2 = hash_mls(base + stop, mls, hash_log);
-                table[2 * h2 + 1] = table[2 * h2];
-                table[2 * h2] = (int32_t)stop;
-            }
+        }
+        /* zero-literal rep continuation (zstd_fast.c match-end staple):
+           ll==0 Offset_Value 1 decodes as rep1 and swaps the history */
+        while (ip < block_end - 12 && k < seq_cap && rep1 > 0
+               && ip - rep1 >= window_low
+               && rd32(base + ip) == rd32(base + ip - rep1)) {
+            int64_t l = 4 + ext_fwd(base + ip + 4, base + ip - rep1 + 4,
+                                    base + block_end);
+            ll_out[k] = 0;
+            ob_out[k] = 1;
+            mb_out[k] = (int32_t)(l - 3);
+            k++;
+            int64_t t = rep0; rep0 = rep1; rep1 = t;
+            uint32_t hr = hash_mls(base + ip, mls, hash_log);
+            table[2 * hr + 1] = table[2 * hr];
+            table[2 * hr] = (int32_t)ip;
+            ip += l;
+            anchor = ip;
         }
     }
     reps[0] = (uint32_t)rep0;
@@ -280,7 +310,17 @@ int64_t zt_dfast_parse(const uint8_t* base, int64_t window_low,
         int64_t tml = lml >= sml ? lml : sml;
         int64_t tsrc = lml >= sml ? lsrc : ssrc;
         if (lml == 0) { tml = sml; tsrc = ssrc; }
-        if (rml > 0 && (tml <= rml + 2 || tsrc < 0)) {
+        int take_rep = 0;
+        if (rml > 0) {
+            if (tsrc < 0) take_rep = 1;
+            else {
+                /* price-aware: a new offset must pay its ~highbit(off)
+                   extra header bits with ~3 bits/byte of extra length */
+                int hb = 63 - __builtin_clzll((uint64_t)(ip - tsrc) | 1);
+                take_rep = (3 * (tml - rml) <= hb + 1);
+            }
+        }
+        if (take_rep) {
             mstart = rstart;
             msrc = rstart - (rcode == 1 ? rep0 : rep1);
             ml = rml;

@@ -225,6 +225,26 @@ int64_t zt_lazy_parse(const uint8_t* base, int64_t window_low,
         for (int64_t j = ip + 1; j < stop; j++) lz_insert(&c, j);
         ip = next;
         anchor = next;
+        /* zero-literal rep continuation (zstd_lazy.c match-end staple):
+           with ll==0 the spec's Offset_Value 1 decodes as rep1 and swaps
+           the history, so matches against rep1 at the fresh anchor cost
+           ~1 bit of offset */
+        while (ip < ilimit && k < seq_cap && rep1 > 0
+               && ip - rep1 >= window_low
+               && lz_rd32(base + ip) == lz_rd32(base + ip - rep1)) {
+            int64_t l = 4 + lz_ext(base + ip + 4, base + ip - rep1 + 4,
+                                   base + block_end);
+            ll_out[k] = 0;
+            ob_out[k] = 1;          /* ll==0: Offset_Value 1 -> rep1 */
+            mb_out[k] = (int32_t)(l - 3);
+            k++;
+            int64_t t = rep0; rep0 = rep1; rep1 = t;
+            int64_t e = ip + l;
+            int64_t s2 = e < ilimit ? e : ilimit;
+            for (int64_t j = ip; j < s2; j++) lz_insert(&c, j);
+            ip = e;
+            anchor = e;
+        }
     }
     reps[0] = (uint32_t)rep0;
     reps[1] = (uint32_t)rep1;
