@@ -136,3 +136,47 @@ def test_dfast_greedy_mode_roundtrip(monkeypatch):
     dp = zstd_tpu.compress(data, level=3)
     assert zstd_tpu.decompress(dp) == data
     assert len(dp) <= len(blob)          # DP stays the ratio-maximal route
+
+
+def test_c_huf_build_write_matches_python():
+    """zt_huf_build_write (CTable build + tree description in one call)
+    is byte/val-identical to the Python oracle pair across distribution
+    shapes: uniform, skewed, sparse, binary-ish, and mixed."""
+    nat = N.get_native()
+    if nat is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    checked = 0
+    for trial in range(120):
+        max_symbol = int(rng.integers(1, 256))
+        kind = trial % 5
+        if kind == 0:
+            count = rng.integers(0, 1000, size=256).astype(np.int64)
+        elif kind == 1:
+            count = (rng.zipf(1.5, size=256) % 100000).astype(np.int64)
+        elif kind == 2:
+            count = np.zeros(256, np.int64)
+            for i in rng.integers(0, max_symbol + 1, size=8):
+                count[i] = int(rng.integers(1, 1 << 20))
+        elif kind == 3:
+            count = rng.integers(0, 3, size=256).astype(np.int64)
+        else:
+            count = np.concatenate([rng.integers(1, 10, 128),
+                                    rng.integers(0, 100000, 128)]).astype(np.int64)
+        count[max_symbol + 1:] = 0
+        if np.count_nonzero(count[:max_symbol + 1]) < 2:
+            count[0] += 1
+            count[max_symbol] += 1
+        max_nb = int(rng.integers(5, 12))
+        r = nat.huf_build_write(count, max_symbol, max_nb)
+        if r is None or r == -2:
+            continue  # infeasible/unserializable: python raises the same way
+        tlog, nb, val, tree = r
+        ct = H.build_huf_ctable(count, max_symbol, max_nb)
+        hdr = H.write_tree_description(ct)
+        assert tlog == ct.table_log
+        assert np.array_equal(nb, ct.nb_bits)
+        assert np.array_equal(val, ct.value)
+        assert tree == hdr
+        checked += 1
+    assert checked >= 60

@@ -213,6 +213,27 @@ def build_huf_ctable(count: np.ndarray, max_symbol: int,
     return HufCTable(max_nb_bits, max_symbol, nb_bits, value)
 
 
+def build_huf_ctable_with_tree(count: np.ndarray, max_symbol: int,
+                               max_nb_bits: int = HUF_TABLELOG_DEFAULT
+                               ) -> tuple[HufCTable, bytes]:
+    """build_huf_ctable + write_tree_description, fused through one native
+    call when available (HUF_buildCTable_wksp + HUF_writeCTable_wksp role,
+    /root/reference/lib/compress/huf_compress.c:756,248). Byte-identical
+    to the Python pair; differential-tested in tests/test_native_encode.py."""
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None:
+        r = nat.huf_build_write(count, max_symbol, max_nb_bits)
+        if r == -2:
+            raise Corruption(
+                "cannot serialize huffman tree (>128 symbols, weights incompressible)")
+        if r is not None:
+            tlog, nb, val, tree = r
+            return HufCTable(tlog, max_symbol, nb, val), tree
+    ct = build_huf_ctable(count, max_symbol, max_nb_bits)
+    return ct, write_tree_description(ct)
+
+
 def huf_estimate_compressed_size(ct: HufCTable, count: np.ndarray,
                                  max_symbol: int) -> int:
     bits = int(np.sum(ct.nb_bits[: max_symbol + 1] * count[: max_symbol + 1]))

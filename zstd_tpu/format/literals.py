@@ -103,8 +103,7 @@ def _huf_compress(lit: bytes, single_stream: bool, prev: HufEntropyState,
         return payload, None, True
 
     huff_log = huffman.huf_optimal_table_log(huffman.HUF_TABLELOG_DEFAULT, n, max_symbol)
-    ct = huffman.build_huf_ctable(count, max_symbol, huff_log)
-    hdr = huffman.write_tree_description(ct)
+    ct, hdr = huffman.build_huf_ctable_with_tree(count, max_symbol, huff_log)
     if repeat != HufRepeat.NONE and old is not None:
         old_size = huffman.huf_estimate_compressed_size(old, count, max_symbol)
         new_size = huffman.huf_estimate_compressed_size(ct, count, max_symbol)

@@ -110,6 +110,10 @@ class _Native:
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.zt_huf_build_write.restype = ctypes.c_int64
+        lib.zt_huf_build_write.argtypes = [
+            i64p, ctypes.c_int, ctypes.c_int, i32p, i32p, u8p,
+            ctypes.c_int64, i64p]
         lib.zt_encode_sequences.restype = ctypes.c_int64
         lib.zt_encode_sequences.argtypes = [
             ctypes.c_int64, i32p, i32p, i32p, i32p, i32p, i32p, i32p, i32p,
@@ -388,6 +392,32 @@ class _Native:
         if r < 0:
             return None
         return out[:r].tobytes()
+
+    def huf_build_write(self, count, max_symbol: int, max_nb_bits: int):
+        """Canonical Huffman CTable build + serialized tree description in
+        one call (HUF_buildCTable_wksp + HUF_writeCTable_wksp role).
+        Returns (table_log, nb_bits, value, tree_bytes), -2 for
+        "unserializable" (caller raises), or None (fall back to Python)."""
+        import numpy as np
+        nb = np.zeros(256, dtype=np.int32)
+        val = np.zeros(256, dtype=np.int32)
+        tree = np.empty(960, dtype=np.uint8)
+        tlen = ctypes.c_int64(0)
+        cnt = np.ascontiguousarray(count, dtype=np.int64)
+        if cnt.shape[0] < 256:
+            cnt = np.pad(cnt, (0, 256 - cnt.shape[0]))
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        r = self._lib.zt_huf_build_write(
+            cnt.ctypes.data_as(i64p), max_symbol, max_nb_bits,
+            nb.ctypes.data_as(i32p), val.ctypes.data_as(i32p),
+            tree.ctypes.data_as(u8p), tree.shape[0], ctypes.byref(tlen))
+        if r == -2:
+            return -2
+        if r < 0:
+            return None
+        return int(r), nb, val, tree[: tlen.value].tobytes()
 
     def encode_sequences(self, ll, ob, mb, llc, ofc, mlc,
                          ll_bits, ml_bits, ct_ll, ct_of, ct_ml):
