@@ -13,25 +13,45 @@
 #include <stdint.h>
 #include <stddef.h>
 
+#include <string.h>
+
 typedef struct {
     uint64_t acc;
     int nbits;          /* bits resident in acc; kept < 40 */
     uint8_t* p;
     uint8_t* end;
+    int ovf;            /* output buffer exhausted (caller reports -1) */
 } BW;
 
-static inline void bw_add(BW* b, uint64_t v, int nb) {
-    if (b->nbits > 56) return;   /* buffer full (p==end); caller reports -1 */
-    b->acc |= (v & (((uint64_t)1 << nb) - 1)) << b->nbits;
-    b->nbits += nb;
-    while (b->nbits >= 8 && b->p < b->end) {
+static inline void bw_flush(BW* b) {
+    int bytes = b->nbits >> 3;
+    if (b->p + 8 <= b->end) {
+        /* one unaligned 8-byte store instead of a per-byte loop; the
+           store is little-endian-exact for this forward LE layout and
+           any over-written scratch is re-covered by the next flush */
+        memcpy(b->p, &b->acc, 8);
+        b->p += bytes;
+        b->acc >>= (bytes << 3);
+        b->nbits -= bytes << 3;
+        return;
+    }
+    while (b->nbits >= 8) {
+        if (b->p >= b->end) { b->ovf = 1; return; }
         *b->p++ = (uint8_t)b->acc;
         b->acc >>= 8;
         b->nbits -= 8;
     }
 }
 
+static inline void bw_add(BW* b, uint64_t v, int nb) {
+    if (b->nbits > 56) { b->ovf = 1; return; }  /* flush failed earlier */
+    b->acc |= (v & (((uint64_t)1 << nb) - 1)) << b->nbits;
+    b->nbits += nb;
+    if (b->nbits >= 32) bw_flush(b);
+}
+
 static inline int64_t bw_close(BW* b, const uint8_t* out0) {
+    if (b->ovf) return -1;
     b->acc |= (uint64_t)1 << b->nbits;      /* sentinel bit */
     b->nbits += 1;
     while (b->nbits > 0) {
@@ -111,12 +131,31 @@ int64_t zt_huf_encode(const uint8_t* data, int64_t n,
                       const int32_t* nb, const int32_t* val,
                       uint8_t* out, int64_t out_cap)
 {
-    BW b = {0, 0, out, out + out_cap};
-    for (int64_t i = n - 1; i >= 0; i--) {
-        int s = data[i];
+    BW b = {0, 0, out, out + out_cap, 0};
+    int64_t i = n - 1;
+    /* head: bring the remaining count to a multiple of 4 */
+    while (i >= 0 && (i & 3) != 3) {
+        int s = data[i--];
         bw_add(&b, (uint64_t)(uint32_t)val[s], nb[s]);
-        if (b.p >= b.end) return -1;
     }
+    /* 4 symbols per flush: canonical codes are <=11 bits, so 4 codes +
+       a <8-bit residue fit the 64-bit accumulator (HUF 4-at-a-time
+       unroll role, huf_compress.c:1074) */
+    for (; i >= 3; i -= 4) {
+        if (b.ovf) return -1;
+        int s0 = data[i], s1 = data[i - 1], s2 = data[i - 2],
+            s3 = data[i - 3];
+        uint64_t a = b.acc;
+        int k = b.nbits;
+        a |= (uint64_t)(uint32_t)val[s0] << k; k += nb[s0];
+        a |= (uint64_t)(uint32_t)val[s1] << k; k += nb[s1];
+        a |= (uint64_t)(uint32_t)val[s2] << k; k += nb[s2];
+        a |= (uint64_t)(uint32_t)val[s3] << k; k += nb[s3];
+        b.acc = a;
+        b.nbits = k;
+        bw_flush(&b);
+    }
+    if (b.ovf) return -1;
     return bw_close(&b, out);
 }
 

@@ -239,6 +239,20 @@ static int64_t fse_write_ncount(const int32_t* norm, int max_symbol,
 #undef ZT_FLUSH16
 }
 
+/* Public wrappers so the Python FSE module can use the same exact
+ * normalize / ncount-serialize mirrors (FSE_normalizeCount +
+ * FSE_writeNCount roles) without a per-symbol Python loop. */
+int64_t zt_fse_normalize(const int64_t* count, int table_log, int64_t total,
+                         int max_symbol, int use_low_prob, int32_t* norm) {
+    return fse_normalize_count(count, table_log, total, max_symbol,
+                               use_low_prob, norm);
+}
+
+int64_t zt_fse_write_ncount(const int32_t* norm, int max_symbol,
+                            int table_log, uint8_t* out, int64_t cap) {
+    return fse_write_ncount(norm, max_symbol, table_log, out, cap);
+}
+
 /* ---------- Huffman tree build (format/huffman.py exact mirror) ------ */
 
 /* counts: sorted descending (ties by ascending symbol). leaf_bits out.

@@ -138,6 +138,16 @@ def normalize_count(count: np.ndarray, table_log: int, total: int,
     if table_log < min_table_log(total, max_symbol):
         raise ZstdError(ZstdErrorCode.GENERIC, "tableLog too small")
 
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None:
+        norm = nat.fse_normalize(count, table_log, total, max_symbol,
+                                 use_low_prob_count)
+        if norm is not None:
+            return norm
+        # native declined (RLE case / M2 failure): fall through so the
+        # Python path raises the exact typed error callers expect
+
     low_prob_count = -1 if use_low_prob_count else 1
     scale = 62 - table_log
     step = (1 << 62) // total
@@ -183,6 +193,12 @@ def normalize_count(count: np.ndarray, table_log: int, total: int,
 
 def write_ncount(norm: np.ndarray, max_symbol: int, table_log: int) -> bytes:
     """Serialize normalized counts (FSE_writeNCount exact bit layout)."""
+    from ..native import get_native
+    nat = get_native()
+    if nat is not None:
+        r = nat.fse_write_ncount(norm, max_symbol, table_log)
+        if r is not None:
+            return r
     out = bytearray()
     bit_stream = 0
     bit_count = 0

@@ -16,6 +16,7 @@ Behavioral parity targets:
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -83,25 +84,19 @@ def _use_low_prob_count(nb_seq: int) -> bool:
 
 
 def _entropy_cost(count: np.ndarray, mx: int, total: int) -> int:
-    cost = 0
-    for s in range(mx + 1):
-        c = int(count[s])
-        norm = (256 * c) // total
-        if c != 0 and norm == 0:
-            norm = 1
-        cost += c * int(K_INV_PROB_LOG256[norm])
-    return cost >> 8
+    c = np.asarray(count[: mx + 1], dtype=np.int64)
+    norm = (256 * c) // total
+    norm = np.where((c != 0) & (norm == 0), 1, norm)
+    return int(np.dot(c, K_INV_PROB_LOG256[norm])) >> 8
 
 
 def _cross_entropy_cost(norm: np.ndarray, accuracy_log: int,
                         count: np.ndarray, mx: int) -> int:
     shift = 8 - accuracy_log
-    cost = 0
-    for s in range(mx + 1):
-        norm_acc = int(norm[s]) if norm[s] != -1 else 1
-        norm256 = norm_acc << shift
-        cost += int(count[s]) * int(K_INV_PROB_LOG256[norm256])
-    return cost >> 8
+    na = np.asarray(norm[: mx + 1], dtype=np.int64)
+    norm256 = np.where(na == -1, 1, na) << shift
+    c = np.asarray(count[: mx + 1], dtype=np.int64)
+    return int(np.dot(c, K_INV_PROB_LOG256[norm256])) >> 8
 
 
 def _fse_bit_cost(ctable: fse.CTable, count: np.ndarray, mx: int) -> int | None:
@@ -110,25 +105,20 @@ def _fse_bit_cost(ctable: fse.CTable, count: np.ndarray, mx: int) -> int | None:
     table_log = ctable.table_log
     if ctable.max_symbol < mx:
         return None
-    cost = 0
-    bad = (table_log + 1) << k_acc
-    for s in range(mx + 1):
-        if count[s] == 0:
-            continue
-        # FSE_bitCost: deltaNbBits-based fractional bit cost
-        delta = int(ctable.delta_nb_bits[s])
-        min_nb_bits = delta >> 16  # nbBits when state is at max
-        threshold = (min_nb_bits + 1) << 16
-        if min_nb_bits + 1 > table_log:
-            return None
-        table_size = 1 << table_log
-        delta_from_threshold = threshold - (delta + table_size)
-        normalized_delta = (delta_from_threshold << k_acc) >> table_log
-        bit_cost = (min_nb_bits << k_acc) + normalized_delta
-        if bit_cost >= bad:
-            return None
-        cost += int(count[s]) * bit_cost
-    return cost >> k_acc
+    c = np.asarray(count[: mx + 1], dtype=np.int64)
+    used = c != 0
+    # FSE_bitCost: deltaNbBits-based fractional bit cost, vectorized
+    delta = np.asarray(ctable.delta_nb_bits[: mx + 1], dtype=np.int64)
+    min_nb_bits = delta >> 16  # nbBits when state is at max
+    if np.any(used & (min_nb_bits + 1 > table_log)):
+        return None
+    table_size = 1 << table_log
+    threshold = (min_nb_bits + 1) << 16
+    normalized_delta = ((threshold - (delta + table_size)) << k_acc) >> table_log
+    bit_cost = (min_nb_bits << k_acc) + normalized_delta
+    if np.any(used & (bit_cost >= ((table_log + 1) << k_acc))):
+        return None
+    return int(np.dot(c, np.where(used, bit_cost, 0))) >> k_acc
 
 
 def _ncount_cost(count: np.ndarray, mx: int, nb_seq: int, fse_log: int) -> int:
@@ -182,6 +172,22 @@ def select_encoding_type(repeat_mode: int, count: np.ndarray, mx: int,
 # Table building (encoder)
 # --------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=None)
+def _predef_ctable_cached(default_max: int, default_norm_log: int) -> fse.CTable:
+    """The three predefined tables are constants — build each once per
+    process (the reference keeps them static in zstd_internal.h)."""
+    norm = {(MAX_LL_CODE, LL_DEFAULT_LOG): LL_DEFAULT_DIST,
+            (DEFAULT_MAX_OFF, OF_DEFAULT_LOG): OF_DEFAULT_DIST,
+            (MAX_ML_CODE, ML_DEFAULT_LOG): ML_DEFAULT_DIST}[
+        (default_max, default_norm_log)].astype(np.int32)
+    return fse.build_ctable(norm, default_max, default_norm_log)
+
+
+@functools.lru_cache(maxsize=128)
+def _rle_ctable_cached(mx: int) -> fse.CTable:
+    return fse.build_ctable_rle(mx)
+
+
 def build_seq_ctable(mode: int, count: np.ndarray, mx: int,
                      last_code: int, nb_seq: int, fse_log: int,
                      default_norm: np.ndarray, default_norm_log: int,
@@ -192,13 +198,16 @@ def build_seq_ctable(mode: int, count: np.ndarray, mx: int,
     normalization since the init state carries it, zstd_compress_sequences.c
     ZSTD_buildCTable set_compressed path). In RLE mode all codes equal mx."""
     if mode == MODE_RLE:
-        return fse.build_ctable_rle(mx), bytes([mx])
+        return _rle_ctable_cached(mx), bytes([mx])
     if mode == MODE_REPEAT:
         assert prev_ctable is not None
         return prev_ctable, b""
     if mode == MODE_PREDEFINED:
-        norm = default_norm.astype(np.int32)
-        return fse.build_ctable(norm, default_max, default_norm_log), b""
+        try:
+            return _predef_ctable_cached(default_max, default_norm_log), b""
+        except KeyError:  # non-standard default table: build directly
+            norm = default_norm.astype(np.int32)
+            return fse.build_ctable(norm, default_max, default_norm_log), b""
     assert mode == MODE_FSE
     table_log = fse.optimal_table_log(fse_log, nb_seq, mx)
     cnt = count.copy()

@@ -110,6 +110,13 @@ class _Native:
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, i32p, i32p]
+        lib.zt_fse_normalize.restype = ctypes.c_int64
+        lib.zt_fse_normalize.argtypes = [
+            i64p, ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            i32p]
+        lib.zt_fse_write_ncount.restype = ctypes.c_int64
+        lib.zt_fse_write_ncount.argtypes = [
+            i32p, ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int64]
         lib.zt_huf_build_write.restype = ctypes.c_int64
         lib.zt_huf_build_write.argtypes = [
             i64p, ctypes.c_int, ctypes.c_int, i32p, i32p, u8p,
@@ -389,6 +396,37 @@ class _Native:
             src.ctypes.data_as(u8p), n,
             nb.ctypes.data_as(i32p), val.ctypes.data_as(i32p),
             out.ctypes.data_as(u8p), cap)
+        if r < 0:
+            return None
+        return out[:r].tobytes()
+
+    def fse_normalize(self, count, table_log: int, total: int,
+                      max_symbol: int, use_low_prob: bool):
+        """FSE_normalizeCount exact mirror (incl. M2). Returns int32 norm
+        array or None where the Python oracle raises (RLE case etc.)."""
+        import numpy as np
+        cnt = np.ascontiguousarray(count[: max_symbol + 1], dtype=np.int64)
+        norm = np.empty(max_symbol + 1, dtype=np.int32)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        r = self._lib.zt_fse_normalize(
+            cnt.ctypes.data_as(i64p), table_log, total, max_symbol,
+            1 if use_low_prob else 0, norm.ctypes.data_as(i32p))
+        if r < 0:
+            return None
+        return norm
+
+    def fse_write_ncount(self, norm, max_symbol: int,
+                         table_log: int) -> bytes | None:
+        """FSE_writeNCount exact bit layout."""
+        import numpy as np
+        nn = np.ascontiguousarray(norm[: max_symbol + 1], dtype=np.int32)
+        out = np.empty(512, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        r = self._lib.zt_fse_write_ncount(
+            nn.ctypes.data_as(i32p), max_symbol, table_log,
+            out.ctypes.data_as(u8p), out.shape[0])
         if r < 0:
             return None
         return out[:r].tobytes()
