@@ -717,10 +717,46 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
          * read->update->read chain into parallel loads */
         int ofb = nof.xbits[sof], mlb = nml.xbits[sml], llb = nll.xbits[sll];
         int tot = ofb + mlb + llb;
-        int64_t p_ll = br.bit_pos - tot;
-        if (p_ll < 0) return -1;
         uint64_t offv, mlx, llx;
+        uint32_t ml, ll;
+
+        /* combined fast path: ONE 64-bit load carries this sequence's
+         * value bits AND the three next-state bits (typical total
+         * <= 45 bits; layout from low bit: of/ml/ll states, then
+         * ll/ml/of values) — halves the loads and the bit_pos
+         * dependency chain of the two-window layout */
+        if (i + 1 < nbseq) {
+            int nbl = nll.nb[sll], nbm = nml.nb[sml], nbo = nof.nb[sof];
+            int stot = nbl + nbm + nbo;        /* <= 9+9+8 = 26 bits */
+            int64_t q_of = br.bit_pos - tot - stot;
+            if (q_of < 0) return -1;
+            int64_t byte = q_of >> 3;
+            int sh = (int)(q_of & 7);
+            if (byte + 8 <= br.size && tot + stot + sh <= 64) {
+                uint64_t w;
+                memcpy(&w, br.start + byte, 8);
+                w >>= sh;
+                uint32_t nsof = nof.next[sof] + (uint32_t)(w & ((1u << nbo) - 1));
+                w >>= nbo;
+                uint32_t nsml = nml.next[sml] + (uint32_t)(w & ((1u << nbm) - 1));
+                w >>= nbm;
+                uint32_t nsll = nll.next[sll] + (uint32_t)(w & ((1u << nbl) - 1));
+                w >>= nbl;
+                llx = w & ((llb >= 32) ? 0xFFFFFFFFu : ((1u << llb) - 1));
+                w >>= llb;
+                mlx = w & ((1u << mlb) - 1);
+                w >>= mlb;
+                offv = (w & (((uint64_t)1 << ofb) - 1)) + nof.base[sof];
+                ml = nml.base[sml] + (uint32_t)mlx;
+                ll = nll.base[sll] + (uint32_t)llx;
+                sof = nsof; sml = nsml; sll = nsll;
+                br.bit_pos = q_of;
+                goto resolved;
+            }
+        }
         {
+            int64_t p_ll = br.bit_pos - tot;
+            if (p_ll < 0) return -1;
             int64_t byte = p_ll >> 3;
             int sh = (int)(p_ll & 7);
             if (byte + 8 <= br.size && tot + sh <= 64) {
@@ -738,11 +774,25 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
                 mlx = bits_at(&br, p_ll + llb, mlb);
                 llx = bits_at(&br, p_ll, llb);
             }
+            offv += nof.base[sof];
+            ml = nml.base[sml] + (uint32_t)mlx;
+            ll = nll.base[sll] + (uint32_t)llx;
+            br.bit_pos = p_ll;
+
+            /* state updates (all but last sequence) */
+            if (i + 1 < nbseq) {
+                int nbl = nll.nb[sll];
+                int nbm = nml.nb[sml];
+                int nbo = nof.nb[sof];
+                int64_t q_of = br.bit_pos - (nbl + nbm + nbo);
+                if (q_of < 0) return -1;
+                sll = nll.next[sll] + bits_at(&br, q_of + nbo + nbm, nbl);
+                sml = nml.next[sml] + bits_at(&br, q_of + nbo, nbm);
+                sof = nof.next[sof] + bits_at(&br, q_of, nbo);
+                br.bit_pos = q_of;
+            }
         }
-        offv += nof.base[sof];
-        uint32_t ml = nml.base[sml] + (uint32_t)mlx;
-        uint32_t ll = nll.base[sll] + (uint32_t)llx;
-        br.bit_pos = p_ll;
+    resolved:;
 
         /* repcode resolution (spec Repeat offsets; ofc==0 => offv==1) */
         uint32_t offset;
@@ -759,32 +809,6 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
                    rep2 = rep1; rep1 = rep0; rep0 = offset; }
         }
         if (offset == 0) return -1;
-
-        /* state updates (all but last sequence): same parallel-load trick */
-        if (i + 1 < nbseq) {
-            int nbl = nll.nb[sll];
-            int nbm = nml.nb[sml];
-            int nbo = nof.nb[sof];
-            int stot = nbl + nbm + nbo;        /* <= 9+9+8 = 26 bits */
-            int64_t q_of = br.bit_pos - stot;
-            if (q_of < 0) return -1;
-            int64_t byte = q_of >> 3;
-            if (byte + 8 <= br.size) {
-                uint64_t w;
-                memcpy(&w, br.start + byte, 8);
-                w >>= (int)(q_of & 7);         /* bit 0 == q_of; of lowest */
-                sof = nof.next[sof] + (uint32_t)(w & ((1u << nbo) - 1));
-                w >>= nbo;
-                sml = nml.next[sml] + (uint32_t)(w & ((1u << nbm) - 1));
-                w >>= nbm;
-                sll = nll.next[sll] + (uint32_t)(w & ((1u << nbl) - 1));
-            } else {
-                sll = nll.next[sll] + bits_at(&br, q_of + nbo + nbm, nbl);
-                sml = nml.next[sml] + bits_at(&br, q_of + nbo, nbm);
-                sof = nof.next[sof] + bits_at(&br, q_of, nbo);
-            }
-            br.bit_pos = q_of;
-        }
 
         /* exec: fixed-stride overshooting copies when the destination has
          * slack (dst buffers carry a block of headroom), byte-exact
