@@ -259,14 +259,15 @@ def compress_sharded(data: bytes, level: int = 1, checksum: bool = False,
     metas: list[dict] = []
     parts: list[np.ndarray] = []
     base = 0
+    hdr = rows * 7 * 4   # per-shard sizes header at the compact-buffer head
     for s in range(nsh):
         pl = plans[s * rows : (s + 1) * rows]
         sz = sizes[s * rows : (s + 1) * rows]
         m_s, total = TpuCompressor._region_metas(pl, sz)
-        nb = min(max(-(-total // step) * step, step), capp)
+        nb = min(max(-(-(hdr + total) // step) * step, step), capp)
         part = np.asarray(_shard_prefix_fetcher(nb)(compact,
                                                     jnp.int32(s)))[0]
-        parts.append(part[:total])
+        parts.append(part[hdr : hdr + total])
         for m in m_s:
             e = dict(zeroed=m["zeroed"])
             e["fse"] = (m["fse"][0] + base, m["fse"][1])

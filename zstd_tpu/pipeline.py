@@ -34,12 +34,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .constants import (BLOCK_MAX_SIZE, BT_COMPRESSED, BT_RAW, BT_RLE,
-                        LBT_COMPRESSED, LBT_RAW, LBT_RLE, MIN_MATCH)
+                        LBT_COMPRESSED, LBT_RAW, LBT_RLE, LL_BITS, MIN_MATCH,
+                        ML_BITS)
 from .format import huffman
 from .format.literals import (HufRepeat, _min_gain,
                               _min_literals_to_compress)
 from .format.frame import write_frame_header
-from .format.sequences import (FseEntropyState,
+from .format.sequences import (FseEntropyState, _fse_bit_cost,
                                build_sequences_header_from_hists,
                                write_nbseq_header)
 from .params import CParams, get_cparams
@@ -253,9 +254,17 @@ def _pack_impl(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits, nb_lits,
         [(fse_sz * g)[:, None], huf_sz * g[:, None], (raw_sz * g)[:, None]],
         axis=1)                                   # [B, 6]
     flat_sz = piece_sz.reshape(-1)
-    dst = jnp.cumsum(flat_sz) - flat_sz           # exclusive starts
-    capp = B * (Wf + 4 * Wh + L) + max(Wf, Wh, L) + 8
+    # the [B, 7] sizes table rides at the head of the compact buffer, so
+    # ONE d2h prefix fetch carries sizes AND streams (the separate tiny
+    # sizes fetch costs a full tunnel round-trip per batch otherwise)
+    hdr_len = B * 7 * 4
+    dst = jnp.cumsum(flat_sz) - flat_sz + hdr_len  # exclusive starts
+    capp = hdr_len + B * (Wf + 4 * Wh + L) + max(Wf, Wh, L) + 8
     buf = jnp.zeros(capp, jnp.uint8)
+    sizes2 = jnp.concatenate([sizes, zeroed.astype(jnp.int32)[:, None]],
+                             axis=1)              # [B, 7]
+    hdr = jax.lax.bitcast_convert_type(sizes2, jnp.uint8).reshape(-1)
+    buf = jax.lax.dynamic_update_slice(buf, hdr, (0,))
     pi = 0
     for j in range(B):
         windows = [out[j, 0:Wf]]
@@ -265,8 +274,6 @@ def _pack_impl(llc, mlc, ofc, llx, mlb, ob, nb_seqs, lits, nb_lits,
         for w in windows:
             buf = jax.lax.dynamic_update_slice(buf, w, (dst[pi],))
             pi += 1
-    sizes2 = jnp.concatenate([sizes, zeroed.astype(jnp.int32)[:, None]],
-                             axis=1)              # [B, 7]
     return buf, sizes2
 
 
@@ -461,6 +468,7 @@ class TpuCompressor:
             first_lit = int(row[_STATS_TAIL + 6])
             blen = int(lens[j])
 
+            est_fse = 0
             if nb_seq:
                 lc = (last_codes[0], last_codes[1], last_codes[2])
                 seq_header, fse_state, last_count = \
@@ -474,6 +482,21 @@ class TpuCompressor:
                     dns[j, t] = d_
                     dfs[j, t] = f_
                     tls[j, t] = tl
+                # expected bitstream bytes (sizes the single prefix fetch):
+                # per-channel state bits (fractional-accuracy FSE cost) +
+                # the exact extra-bit totals from the histograms
+                bits = 0
+                for ct, hist, xb in (
+                        (fse_state.ct_ll, ll_hist, LL_BITS[:36]),
+                        (fse_state.ct_ml, ml_hist, ML_BITS[:53]),
+                        (fse_state.ct_of, of_hist,
+                         np.arange(32, dtype=np.int64))):
+                    mx_c = int(np.nonzero(hist)[0][-1])
+                    sc = _fse_bit_cost(ct, hist, mx_c)
+                    bits += (sc if sc is not None else nb_seq * ct.table_log)
+                    bits += int(hist @ xb[: len(hist)])
+                    bits += ct.table_log       # init state
+                est_fse = (bits >> 3) + 16
             else:
                 seq_header, last_count = write_nbseq_header(0), 0
 
@@ -486,10 +509,20 @@ class TpuCompressor:
             elif lp.kind == "raw":
                 lit_raw[j] = True
             blens_col[j] = blen
+            # host-side byte estimate of this block's device pieces, used
+            # to size the single compact-prefix fetch (mirrors the device
+            # pre-gate: est >= blen is stored raw, so cap at blen)
+            if lp.kind == "huf":
+                est_lit = sum(lp.stream_sizes)
+            elif lp.kind == "raw":
+                est_lit = nb_lit
+            else:
+                est_lit = 0
             plans.append(dict(blen=blen, nb_seq=nb_seq, nb_lit=nb_lit,
                               seq_header=seq_header, last_count=last_count,
                               lit_plan=lp, all_same=all_same,
-                              first_lit=first_lit))
+                              first_lit=first_lit,
+                              est=min(est_fse + est_lit, blen + 16)))
             max_seq = max(max_seq, nb_seq)
 
         cap = _seq_cap_bucket(max_seq)
@@ -516,8 +549,9 @@ class TpuCompressor:
                 r["nb_seq"], r["lits"], r["nb_lit"],
                 jnp.asarray(blob),
                 cap, out_w_fse, seg_cap, out_w_huf)
+        del sizes  # rides at the head of `compact`; never fetched alone
         stageB[k] = (plans,
-                     pool.submit(self._fetch_regions, plans, compact, sizes))
+                     pool.submit(self._fetch_regions, plans, compact))
         del stageA[k]
 
     # ------------------------------------------------------------------
@@ -550,16 +584,24 @@ class TpuCompressor:
         return metas, off
 
     @staticmethod
-    def _fetch_regions(plans, compact_d, sizes_d):
-        """Worker-thread half of finalize: pull sizes, mirror the device
-        piece gating into offsets, fetch the tight compact-buffer prefix."""
-        sizes = np.asarray(sizes_d)   # [B, 7], tiny
-        metas, total = TpuCompressor._region_metas(plans, sizes)
+    def _fetch_regions(plans, compact_d):
+        """Worker-thread half of finalize: ONE prefix fetch carries the
+        [B, 7] sizes header and the streams; the prefix length comes from
+        the host-side size estimate (re-fetched bigger if it undershot,
+        which the device pre-gate makes rare)."""
+        B = len(plans)
+        hdr = B * 7 * 4
+        est_total = sum(p["est"] for p in plans)
         step = 128 * 1024
-        nb = min(max(-(-total // step) * step, step),
-                 int(compact_d.shape[0]))
-        compact = np.asarray(_prefix_fetcher(nb)(compact_d))
-        return metas, compact
+        capp = int(compact_d.shape[0])
+        nb = min(max(-(-(hdr + est_total) // step) * step, step), capp)
+        fetched = np.asarray(_prefix_fetcher(nb)(compact_d))
+        sizes = fetched[:hdr].view(np.int32).reshape(B, 7)
+        metas, total = TpuCompressor._region_metas(plans, sizes)
+        if hdr + total > nb:       # estimate undershot: fetch the real size
+            nb = min(-(-(hdr + total) // step) * step, capp)
+            fetched = np.asarray(_prefix_fetcher(nb)(compact_d))
+        return metas, fetched[hdr : hdr + total]
 
     # ------------------------------------------------------------------
     def _finalize(self, k, stageA, stageB, arr, batches, block_size,
