@@ -108,6 +108,15 @@ if os.environ.get("BENCH_DEVDEC", "1") == "1":
     except Exception as e:
         hb(f"devdec failed: {type(e).__name__}: {e}")
 
+# host C path on the same corpus, for context alongside the device number
+import zstd_tpu
+t_host = float("inf")
+for r in range(2):
+    t0 = time.time()
+    hblob = zstd_tpu.compress(data, level=1, checksum=False)
+    t_host = min(t_host, time.time() - t0)
+host_mbps = total / t_host / 1e6
+
 baseline_mbps = 510.0
 print(json.dumps({
     "metric": "encode_throughput_level1",
@@ -119,6 +128,7 @@ print(json.dumps({
     "decode_vs_baseline": round(dec_mbps / 1580.0, 4),
     "device_decode_mbps": round(dev_e2e, 1),
     "device_decode_resident_mbps": round(dev_res, 1),
+    "host_encode_mbps": round(host_mbps, 1),
 }))
 '''
 
