@@ -138,9 +138,12 @@ int64_t zt_huf_encode(const uint8_t* data, int64_t n,
         int s = data[i--];
         bw_add(&b, (uint64_t)(uint32_t)val[s], nb[s]);
     }
-    /* 4 symbols per flush: canonical codes are <=11 bits, so 4 codes +
+    /* 4 symbols per flush: canonical codes are <=12 bits, so 4 codes +
        a <8-bit residue fit the 64-bit accumulator (HUF 4-at-a-time
-       unroll role, huf_compress.c:1074) */
+       unroll role, huf_compress.c:1074). The head peel can leave up to
+       31 resident bits (bw_add only flushes at >=32) — flush once so
+       the <8-bit invariant holds for the first packed group too. */
+    if (b.nbits >= 8) bw_flush(&b);
     for (; i >= 3; i -= 4) {
         if (b.ovf) return -1;
         int s0 = data[i], s1 = data[i - 1], s2 = data[i - 2],

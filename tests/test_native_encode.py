@@ -180,3 +180,28 @@ def test_c_huf_build_write_matches_python():
         assert tree == hdr
         checked += 1
     assert checked >= 60
+
+
+def test_c_huffman_deep_codes_all_lengths():
+    """Regression: 11-bit codes with every head-peel residue (n % 4) must
+    round-trip — the unrolled encoder once overflowed its accumulator
+    when the peel left >16 resident bits before a 4-deep-code group."""
+    nat = N.get_native()
+    if nat is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    # an exponential histogram forces the full 11-bit code depth
+    counts = [max(1, 1 << max(0, 15 - s)) for s in range(24)]
+    vals = np.repeat(np.arange(24, dtype=np.uint8), counts)
+    rng.shuffle(vals)
+    data = bytes(vals)
+    hist = np.bincount(np.frombuffer(data, np.uint8), minlength=256).astype(np.int64)
+    mx = int(np.nonzero(hist)[0][-1])
+    ct = H.build_huf_ctable(hist, mx)
+    assert int(ct.nb_bits.max()) >= 10  # the test only bites with deep codes
+    dt = H.ctable_to_dtable(ct)
+    for cut in (0, 1, 2, 3, 5, 17):
+        part = data[: len(data) - cut]
+        enc = nat.huf_encode(part, ct.nb_bits, ct.value)
+        assert enc is not None
+        assert H.huf_decode_1x(enc, dt, len(part)) == part
