@@ -39,6 +39,38 @@ static inline int64_t ext_fwd(const uint8_t* a, const uint8_t* b,
     return a - a0;
 }
 
+/* Index [start, end) — a dictionary or window prefix — into the fast
+ * 2-way bucket table so the first blocks can match into it
+ * (ZSTD_fillHashTable role, zstd_fast.c:13-60: the reference also keeps
+ * only the most recent positions per hash). */
+void zt_fast_fill(const uint8_t* base, int64_t start, int64_t end,
+                  int hash_log, int mls, int32_t* table)
+{
+    if (mls < 4) mls = 4;
+    if (mls > 8) mls = 8;
+    for (int64_t j = start; j + 8 <= end; j++) {
+        uint32_t h = hash_mls(base + j, mls, hash_log);
+        table[2 * h + 1] = table[2 * h];
+        table[2 * h] = (int32_t)j;
+    }
+}
+
+/* Same for the double-fast long (8-byte) + short (5-byte) tables
+ * (ZSTD_fillDoubleHashTable role, zstd_double_fast.c:13-75). */
+void zt_dfast_fill(const uint8_t* base, int64_t start, int64_t end,
+                   int hlog_long, int hlog_short,
+                   int32_t* table_long, int32_t* table_short)
+{
+    for (int64_t j = start; j + 8 <= end; j++) {
+        uint32_t hl = hash_mls(base + j, 8, hlog_long);
+        uint32_t hs = hash_mls(base + j, 5, hlog_short);
+        table_long[2 * hl + 1] = table_long[2 * hl];
+        table_long[2 * hl] = (int32_t)j;
+        table_short[2 * hs + 1] = table_short[2 * hs];
+        table_short[2 * hs] = (int32_t)j;
+    }
+}
+
 int64_t zt_fast_parse(const uint8_t* base, int64_t window_low,
                       int64_t block_start, int64_t block_end,
                       uint32_t* reps,

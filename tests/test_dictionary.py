@@ -154,3 +154,21 @@ def test_trained_dict_quality_vs_reference_trainer(ref, tmp_path):
     ours_total = total_with(ours)
     ref_total = total_with(refdict.read_bytes())
     assert ours_total <= ref_total * 1.10, (ours_total, ref_total)
+
+
+def test_fast_levels_match_into_dict_prefix():
+    """Levels 1-2 must find matches inside the dictionary content
+    (ZSTD_fillHashTable / fast dictMatchState role): with a raw-content
+    dictionary equal to the input, level 1 collapses to a handful of
+    long dict matches instead of compressing from scratch."""
+    from conftest import gen_text
+    from zstd_tpu.dictionary import (load_dictionary, compress_with_dict,
+                                     decompress_with_dict)
+    import zstd_tpu
+    data = gen_text(100_000, seed=3)
+    d = load_dictionary(data)
+    blob = compress_with_dict(data, d, level=1)
+    assert decompress_with_dict(blob, d) == data
+    assert len(blob) < 2_000          # was ~18.5 KB without the prefix fill
+    plain = len(zstd_tpu.compress(data, level=1))
+    assert len(blob) < plain // 4

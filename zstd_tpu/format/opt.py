@@ -47,20 +47,26 @@ def find_sequences_fast(full: np.ndarray, block_start: int, block_end: int,
     if nat is None:
         return None
     hash_log = min(max(cparams.hash_log, 12), 22)
+    mls = min(max(cparams.min_match, 5), 7)
     tab_n = 2 << hash_log           # 2-way buckets
+    fresh = True
     if state is not None:
         if state.fast_table is None or len(state.fast_table) != tab_n:
             state.fast_table = np.full(tab_n, -1, dtype=np.int32)
+        else:
+            fresh = False
         table = state.fast_table
     else:
         table = np.full(tab_n, -1, dtype=np.int32)
+    if fresh and block_start > window_low:
+        # index the dictionary / window prefix (ZSTD_fillHashTable role)
+        nat.fast_fill(full, window_low, block_start, hash_log, mls, table)
     # --fast=N (negative levels encode N in target_length): larger base step
     step0 = max(1, -cparams.target_length if cparams.target_length < 0
                 else cparams.target_length if cparams.strategy == 1
                 and cparams.target_length > 0 else 1)
     res = nat.fast_parse(full, window_low, block_start, block_end, reps,
-                         hash_log, 8, min(max(cparams.min_match, 5), 7),
-                         step0, table)
+                         hash_log, 8, mls, step0, table)
     if res is None:
         return None
     ll, ob, mb, new_reps = res
@@ -78,14 +84,21 @@ def find_sequences_dfast(full: np.ndarray, block_start: int, block_end: int,
     hlog_long = min(max(cparams.hash_log, 14), 22)
     hlog_short = min(max(cparams.chain_log, 13), 21)
     need = (2 << hlog_long) + (2 << hlog_short)
+    fresh = True
     if state is not None:
         if state.fast_table is None or len(state.fast_table) != need:
             state.fast_table = np.full(need, -1, dtype=np.int32)
+        else:
+            fresh = False
         buf = state.fast_table
     else:
         buf = np.full(need, -1, dtype=np.int32)
     tl = buf[: 2 << hlog_long]
     ts = buf[2 << hlog_long :]
+    if fresh and block_start > window_low:
+        # index the dictionary / window prefix (ZSTD_fillDoubleHashTable)
+        nat.dfast_fill(full, window_low, block_start, hlog_long, hlog_short,
+                       tl, ts)
     res = nat.dfast_parse(full, window_low, block_start, block_end, reps,
                           hlog_long, hlog_short, 8, tl, ts)
     if res is None:

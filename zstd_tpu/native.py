@@ -78,6 +78,14 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p]
+        lib.zt_fast_fill.restype = None
+        lib.zt_fast_fill.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            i32p]
+        lib.zt_dfast_fill.restype = None
+        lib.zt_dfast_fill.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
+            i32p, i32p]
         lib.zt_huf_encode.restype = ctypes.c_int64
         lib.zt_huf_encode.argtypes = [
             u8p, ctypes.c_int64, i32p, i32p, u8p, ctypes.c_int64]
@@ -341,6 +349,30 @@ class _Native:
         if rc != 0:
             return None
         return state_table, delta_nb, delta_fs
+
+    def fast_fill(self, full, start: int, end: int, hash_log: int,
+                  mls: int, table):
+        """Index [start, end) (dictionary/window prefix) into the fast
+        2-way bucket table (ZSTD_fillHashTable role)."""
+        import numpy as np
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.zt_fast_fill(full.ctypes.data_as(u8p), start, end,
+                               hash_log, mls, table.ctypes.data_as(i32p))
+
+    def dfast_fill(self, full, start: int, end: int, hlog_long: int,
+                   hlog_short: int, table_long, table_short):
+        """Index a prefix into the double-fast long+short tables
+        (ZSTD_fillDoubleHashTable role)."""
+        import numpy as np
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.zt_dfast_fill(full.ctypes.data_as(u8p), start, end,
+                                hlog_long, hlog_short,
+                                table_long.ctypes.data_as(i32p),
+                                table_short.ctypes.data_as(i32p))
 
     def lazy_fill(self, full, start: int, end: int, hash_log: int,
                   chain_log: int, mls: int, head, chain):
