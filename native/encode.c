@@ -98,7 +98,7 @@ int64_t zt_encode_sequences(
     uint8_t* out, int64_t out_cap)
 {
     if (n <= 0) return -1;
-    BW b = {0, 0, out, out + out_cap};
+    BW b = {0, 0, out, out + out_cap, 0};
     CSt sll = {0, ll_tlog, ll_st, ll_dnb, ll_dfs};
     CSt sof = {0, of_tlog, of_st, of_dnb, of_dfs};
     CSt sml = {0, ml_tlog, ml_st, ml_dnb, ml_dfs};
@@ -240,7 +240,7 @@ int64_t zt_fse_compress_2state(const uint8_t* data, int64_t n,
                                uint8_t* out, int64_t out_cap)
 {
     if (n <= 2) return 0;
-    BW b = {0, 0, out, out + out_cap};
+    BW b = {0, 0, out, out + out_cap, 0};
     CSt c1 = {0, table_log, st, dnb, dfs};
     CSt c2 = {0, table_log, st, dnb, dfs};
     int64_t ip = n;

@@ -57,12 +57,44 @@ typedef struct {
     int mls;
     int64_t window_low;
     int64_t block_end;
+    /* optional far-reach table: the chain table's modular indexing caps
+       its reach at chain_size positions; this 2-way bucket of 8-byte
+       hashes keeps absolute positions, so long matches far back in the
+       window — and into a dictionary prefix — stay findable (the role
+       dfast's long table plays for the reference's dict fast paths) */
+    int32_t* tlong;         /* [2<<hlog_long] 2-way buckets, -1 empty */
+    int hlog_long;
 } LzCtx;
 
 static inline void lz_insert(LzCtx* c, int64_t pos) {
     uint32_t h = lz_hash(c->base + pos, c->mls, c->hash_log);
     c->chain[pos & c->chain_mask] = c->head[h];
     c->head[h] = (int32_t)pos;
+    if (c->tlong) {
+        uint32_t hl = lz_hash(c->base + pos, 8, c->hlog_long);
+        c->tlong[2 * hl + 1] = c->tlong[2 * hl];
+        c->tlong[2 * hl] = (int32_t)pos;
+    }
+}
+
+/* far candidates via the 8-byte bucket table; same contract as
+ * lz_search (no insert, >=8 on hit since the hash pins 8 bytes). */
+static int64_t lz_search_long(LzCtx* c, int64_t ip, int64_t* src_out) {
+    if (!c->tlong) return 0;
+    uint32_t h = lz_hash(c->base + ip, 8, c->hlog_long);
+    uint64_t cur8 = lz_rd64(c->base + ip);
+    int64_t best = 0, bsrc = -1;
+    for (int w = 0; w < 2; w++) {
+        int64_t cand = c->tlong[2 * h + w];
+        if (cand >= c->window_low && cand >= 0 && cand < ip
+            && lz_rd64(c->base + cand) == cur8) {
+            int64_t l = 8 + lz_ext(c->base + ip + 8, c->base + cand + 8,
+                                   c->base + c->block_end);
+            if (l > best) { best = l; bsrc = cand; }
+        }
+    }
+    *src_out = bsrc;
+    return best;
 }
 
 /* Depth-bounded chain walk; returns best length (>=4) and its source.
@@ -100,8 +132,21 @@ void zt_lazy_fill(const uint8_t* base, int64_t from, int64_t to,
     if (mls > 8) mls = 8;
     LzCtx c = { base, head_table, chain_table,
                 (uint32_t)((1u << chain_log) - 1), hash_log, mls,
-                0, to };
+                0, to, NULL, 0 };
     for (int64_t j = from; j + 8 <= to; j++) lz_insert(&c, j);
+}
+
+/* fill only the far-reach long table over a prefix range */
+void zt_lazy_fill_long(const uint8_t* base, int64_t from, int64_t to,
+                       int hlog_long, int32_t* table_long)
+{
+    for (int64_t j = from; j + 8 <= to; j++) {
+        uint32_t hl = (uint32_t)((lz_rd64(base + j)
+                                  * 0xCF1BBCDCBB586158ULL)
+                                 >> (64 - hlog_long));
+        table_long[2 * hl + 1] = table_long[2 * hl];
+        table_long[2 * hl] = (int32_t)j;
+    }
 }
 
 int64_t zt_lazy_parse(const uint8_t* base, int64_t window_low,
@@ -111,7 +156,8 @@ int64_t zt_lazy_parse(const uint8_t* base, int64_t window_low,
                       int64_t seq_cap,
                       int hash_log, int chain_log, int mls,
                       int depth, int defer, int accel_log,
-                      int32_t* head_table, int32_t* chain_table)
+                      int32_t* head_table, int32_t* chain_table,
+                      int32_t* table_long, int hlog_long)
 {
     int64_t n = block_end - block_start;
     if (n < 16) return 0;
@@ -122,7 +168,7 @@ int64_t zt_lazy_parse(const uint8_t* base, int64_t window_low,
 
     LzCtx c = { base, head_table, chain_table,
                 (uint32_t)((1u << chain_log) - 1), hash_log, mls,
-                window_low, block_end };
+                window_low, block_end, table_long, hlog_long };
 
     int64_t ip = block_start;
     int64_t anchor = ip;
@@ -158,6 +204,12 @@ int64_t zt_lazy_parse(const uint8_t* base, int64_t window_low,
                 int64_t v = 4 * cl - lz_highbit((uint64_t)(ip - csrc));
                 if (v > val) { ml = cl; msrc = csrc; rcode = 0; val = v; }
             }
+            int64_t fsrc = -1;
+            int64_t fl = lz_search_long(&c, ip, &fsrc);
+            if (fl >= 8) {
+                int64_t v = 4 * fl - lz_highbit((uint64_t)(ip - fsrc));
+                if (v > val) { ml = fl; msrc = fsrc; rcode = 0; val = v; }
+            }
         }
         lz_insert(&c, ip);
         if (ml < 4) {
@@ -186,6 +238,12 @@ int64_t zt_lazy_parse(const uint8_t* base, int64_t window_low,
                 if (cl >= 4) {
                     int64_t v = 4 * cl - lz_highbit((uint64_t)(nip - csrc));
                     if (v > nval) { nml = cl; nsrc = csrc; nrcode = 0; nval = v; }
+                }
+                int64_t fsrc = -1;
+                int64_t fl = lz_search_long(&c, nip, &fsrc);
+                if (fl >= 8) {
+                    int64_t v = 4 * fl - lz_highbit((uint64_t)(nip - fsrc));
+                    if (v > nval) { nml = fl; nsrc = fsrc; nrcode = 0; nval = v; }
                 }
             }
             if (nml < 4) break;

@@ -134,7 +134,11 @@ def find_sequences_chainlazy(full: np.ndarray, block_start: int,
     depth = int(_os.environ.get("ZSTD_TPU_LAZY_DEPTH", depth))
     defer = int(_os.environ.get("ZSTD_TPU_LAZY_DEFER", defer))
     mls = int(_os.environ.get("ZSTD_TPU_LAZY_MLS", mls))
-    need = (1 << hash_log) + (1 << chain_log)
+    # far-reach long table: the chain table's modular indexing caps reach
+    # at 2^chain_log; the 8-byte 2-way buckets keep absolute positions so
+    # far-window and dictionary-prefix long matches stay findable
+    hlog_long = min(max(cparams.hash_log, 15), 22)
+    need = (1 << hash_log) + (1 << chain_log) + (2 << hlog_long)
     fresh = True
     if state is not None:
         if state.fast_table is None or len(state.fast_table) != need:
@@ -145,15 +149,17 @@ def find_sequences_chainlazy(full: np.ndarray, block_start: int,
     else:
         buf = np.full(need, -1, dtype=np.int32)
     head = buf[: 1 << hash_log]
-    chain = buf[1 << hash_log :]
+    chain = buf[1 << hash_log : (1 << hash_log) + (1 << chain_log)]
+    tlong = buf[(1 << hash_log) + (1 << chain_log) :]
     if fresh and block_start > window_low:
         # index the dictionary / window prefix so the parse can match
         # into it (the DP route gets this from its own fill)
         nat.lazy_fill(full, window_low, block_start, hash_log, chain_log,
                       mls, head, chain)
+        nat.lazy_fill_long(full, window_low, block_start, hlog_long, tlong)
     res = nat.lazy_parse(full, window_low, block_start, block_end, reps,
                          hash_log, chain_log, mls,
-                         depth, defer, 8, head, chain)
+                         depth, defer, 8, head, chain, tlong, hlog_long)
     if res is None:
         return None
     ll, ob, mb, new_reps = res

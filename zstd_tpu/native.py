@@ -117,7 +117,10 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u32p, i32p, i32p, i32p, ctypes.c_int64,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, i32p, i32p]
+            ctypes.c_int, ctypes.c_int, i32p, i32p, i32p, ctypes.c_int]
+        lib.zt_lazy_fill_long.restype = None
+        lib.zt_lazy_fill_long.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, i32p]
         lib.zt_fse_normalize.restype = ctypes.c_int64
         lib.zt_fse_normalize.argtypes = [
             i64p, ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -267,14 +270,30 @@ class _Native:
     def lazy_parse(self, full, window_low: int, block_start: int,
                    block_end: int, reps: tuple, hash_log: int,
                    chain_log: int, mls: int, depth: int, defer: int,
-                   accel_log: int, head, chain):
+                   accel_log: int, head, chain, table_long=None,
+                   hlog_long: int = 0):
         """Hash-chain lazy parse (zstd_lazy.c greedy/lazy/lazy2 role):
         depth-bounded chain search at every position plus 0-2 step lazy
         deferral. head int32[1<<hash_log] (-1 empty) and chain
-        int32[1<<chain_log] persist across a frame's blocks."""
+        int32[1<<chain_log] persist across a frame's blocks; table_long
+        (int32[2<<hlog_long] 2-way buckets) optionally extends reach past
+        the chain table's modular horizon (dict prefixes, far window)."""
         return self._lazy_call(full, window_low, block_start, block_end,
                                reps, hash_log, chain_log, mls, depth,
-                               defer, accel_log, head, chain)
+                               defer, accel_log, head, chain, table_long,
+                               hlog_long)
+
+    def lazy_fill_long(self, full, start: int, end: int, hlog_long: int,
+                       table_long):
+        """Index a prefix range into the lazy parser's far-reach long
+        table (dict / window-history loading for the 8-byte buckets)."""
+        import numpy as np
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        self._lib.zt_lazy_fill_long(full.ctypes.data_as(u8p), start, end,
+                                    hlog_long,
+                                    table_long.ctypes.data_as(i32p))
 
     def fse_compress_2state(self, data: bytes, ct) -> bytes | None:
         """FSE_compress_usingCTable role (2 alternating states); mirrors
@@ -388,7 +407,7 @@ class _Native:
 
     def _lazy_call(self, full, window_low, block_start, block_end, reps,
                    hash_log, chain_log, mls, depth, defer, accel_log,
-                   head, chain):
+                   head, chain, table_long=None, hlog_long=0):
         import numpy as np
         n = block_end - block_start
         seq_cap = n // 4 + 16
@@ -400,13 +419,16 @@ class _Native:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         i32p = ctypes.POINTER(ctypes.c_int32)
         u32p = ctypes.POINTER(ctypes.c_uint32)
+        tl = (table_long.ctypes.data_as(i32p) if table_long is not None
+              else ctypes.cast(None, i32p))
         nseq = self._lib.zt_lazy_parse(
             full.ctypes.data_as(u8p), window_low, block_start, block_end,
             reps_arr.ctypes.data_as(u32p),
             ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
             mb.ctypes.data_as(i32p), seq_cap,
             hash_log, chain_log, mls, depth, defer, accel_log,
-            head.ctypes.data_as(i32p), chain.ctypes.data_as(i32p))
+            head.ctypes.data_as(i32p), chain.ctypes.data_as(i32p),
+            tl, hlog_long if table_long is not None else 0)
         if nseq < 0:
             return None
         return (ll[:nseq], ob[:nseq], mb[:nseq],
