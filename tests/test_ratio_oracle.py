@@ -38,7 +38,7 @@ def test_size_le_reference_fast_paths(ref, corpus1m, level):
         f"({(len(ours) - ref_sz) / ref_sz:+.3%})")
 
 
-@pytest.mark.parametrize("level", [3, 9])
+@pytest.mark.parametrize("level", [3, 5, 7, 9])
 def test_size_le_reference_lazy_levels(ref, corpus1m, level):
     data = corpus1m[: 256 * 1024]
     ours = zstd_tpu.compress(data, level=level)

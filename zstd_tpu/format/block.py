@@ -181,10 +181,14 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
         if res is not None:
             return res
     if ((cparams.strategy == 2 and override not in ("dp", "greedy"))
-            or (3 <= cparams.strategy <= 5 and override == "lazy")):
+            or (cparams.strategy in (3, 4) and override not in ("dp", "greedy"))
+            or (cparams.strategy == 5 and override == "lazy")):
         # hash-chain lazy matchfinder (zstd_lazy.c class): default for
-        # the dfast-class levels (3-4), opt-in for 5-12 where the DP's
-        # ratio edge (-8%) still wins the default
+        # the dfast-class levels (3-4) AND the greedy/lazy strategies
+        # (levels ~5-7: -1.7..-1.8% vs ref at 4-24 MB/s with the
+        # far-reach table, where the DP was -9% but 0.1 MB/s); opt-in
+        # for strategy 5+ (levels 8-12) where the chain route's margin
+        # thins to -0.2..+0.3% and the DP's ratio edge wins the default
         from .opt import find_sequences_chainlazy
         res = find_sequences_chainlazy(
             full, block_start, block_end, window_low, state.reps, cparams,
