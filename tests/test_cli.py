@@ -243,3 +243,44 @@ def test_cli_bench_level_range(tmp_path):
     lines = [ln for ln in r.stdout.decode().splitlines() if "b.bin" in ln]
     assert len(lines) == 2 and lines[0].startswith(" 1#") \
         and lines[1].startswith(" 2#")
+
+
+def test_cli_small_flag_parity(tmp_path):
+    """The small reference flags: --single-thread, --no-dictID,
+    --stream-size (mismatch errors), -M, -B/-S bench, --train-fastcover."""
+    data = gen_text(50_000, seed=31)
+    src = tmp_path / "x.bin"
+    src.write_bytes(data)
+
+    # --single-thread compress + -M decompress limits
+    r = run_cli(["-q", "-f", "--single-thread", "-3", str(src)])
+    blob = (tmp_path / "x.bin.zst").read_bytes()
+    out = run_cli(["-d", "-M", "1024", "-c"], data=blob).stdout
+    assert out == data
+
+    # --stream-size: exact passes, mismatch errors
+    ok = run_cli(["--stream-size", str(len(data)), "-c", "-"], data=data)
+    assert ok.stdout[:4] == b"\x28\xb5\x2f\xfd"
+    bad = run_cli(["--stream-size", "7", "-c", "-"], data=data, check=False)
+    assert bad.returncode != 0
+
+    # --train-fastcover + --no-dictID: header carries dictID 0
+    r = run_cli(["-q", "--train-fastcover", str(src), "-o",
+                 str(tmp_path / "dict")])
+    dct = str(tmp_path / "dict")
+    withid = run_cli(["-3", "-D", dct, "-c", str(src)]).stdout
+    noid = run_cli(["-3", "-D", dct, "--no-dictID", "-c", str(src)]).stdout
+    from zstd_tpu.format.frame import parse_frame_header
+    assert parse_frame_header(withid).dict_id != 0
+    assert parse_frame_header(noid).dict_id == 0
+    rt = run_cli(["-d", "-D", dct, "-c"], data=noid).stdout
+    assert rt == data
+
+    # bench: -B chunks + consolidated vs -S per-file rows
+    two = tmp_path / "y.bin"
+    two.write_bytes(gen_text(30_000, seed=32))
+    cons = run_cli(["-b1", "-i0.05", str(src), str(two)]).stdout
+    assert b"2 files" in cons
+    sep = run_cli(["-b1", "-i0.05", "-S", "-B", "16384",
+                   str(src), str(two)]).stdout
+    assert b"x.bin" in sep and b"y.bin" in sep

@@ -36,8 +36,16 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
                    help="with -b: benchmark the level range -b#..-e#")
     p.add_argument("-i", dest="bench_secs", type=float, metavar="#",
                    help="with -b: minimum seconds per measurement")
+    p.add_argument("-H", action="help", help=argparse.SUPPRESS)
     p.add_argument("--train", action="store_true")
     p.add_argument("--train-cover", action="store_true", dest="train_cover")
+    p.add_argument("--train-fastcover", action="store_true",
+                   dest="train_fastcover",
+                   help="train with the fastCover algorithm (the default)")
+    p.add_argument("--train-legacy", action="store_true", dest="train_legacy",
+                   help="legacy trainer selector; routed to the COVER "
+                        "trainer (the divsufsort analysis path is a "
+                        "documented non-goal)")
     p.add_argument("--optimize-cover", action="store_true", dest="opt_cover")
     p.add_argument("-l", "--list", action="store_true")
     p.add_argument("-o", dest="output", metavar="FILE")
@@ -50,7 +58,30 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("-D", dest="dictionary", metavar="DICT")
     p.add_argument("--maxdict", type=int, default=112640)
     p.add_argument("--dictID", type=int, default=0)
+    p.add_argument("--no-dictID", dest="no_dict_id", action="store_true",
+                   help="don't write the dictID into frame headers")
     p.add_argument("-T", "--threads", type=int, default=0, metavar="#")
+    p.add_argument("--single-thread", dest="single_thread",
+                   action="store_true",
+                   help="one thread for I/O and compression (no async I/O)")
+    p.add_argument("--auto-threads", choices=["physical", "logical"],
+                   default="physical",
+                   help="how -T0 resolves the worker count")
+    p.add_argument("--priority", choices=["rt"], default=None,
+                   help="raise process scheduling priority (best effort)")
+    p.add_argument("-B", dest="job_size", type=int, default=0, metavar="#",
+                   help="with -b: cut input into independent chunks of "
+                        "size #; otherwise the -T job size")
+    p.add_argument("-S", dest="bench_separate", action="store_true",
+                   help="with -b: one benchmark result per input file")
+    p.add_argument("--size-hint", dest="size_hint", type=int, default=None,
+                   metavar="#",
+                   help="approximate streaming input size for parameter "
+                        "selection")
+    p.add_argument("--stream-size", dest="stream_size", type=int,
+                   default=None, metavar="#",
+                   help="exact size of the streaming input (mismatch is "
+                        "an error, like the reference)")
     p.add_argument("--long", nargs="?", const=27, type=int, metavar="windowLog")
     p.add_argument("--patch-from", dest="patch_from", metavar="FILE")
     p.add_argument("--adapt", nargs="?", const="", metavar="min=#,max=#",
@@ -81,8 +112,9 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("--target-compressed-block-size", dest="target_cblock",
                    type=int, default=None, metavar="#",
                    help="aim compressed blocks at this size (superblock)")
-    p.add_argument("--memory", type=int, default=None,
-                   help="decompression memory limit (windowLog cap)")
+    p.add_argument("-M", "--memory", type=int, default=None, metavar="#",
+                   help="decompression memory limit: <=31 is a windowLog "
+                        "cap, larger values are MiB (reference -M#)")
     p.add_argument("--format", choices=["zstd", "gzip", "xz", "lzma"],
                    default="zstd",
                    help="compress to this format (gzip/xz/lzma passthrough "
@@ -193,8 +225,12 @@ def _compress_bytes(data: bytes, args) -> bytes:
         return pipeline.compress(data, level=max(level, 1), checksum=checksum)
     import zstd_tpu
     if args.dictionary:
+        import copy
         from .dictionary import load_dictionary, compress_with_dict
         d = load_dictionary(open(args.dictionary, "rb").read())
+        if args.no_dict_id and d.dict_id:
+            d = copy.copy(d)
+            d.dict_id = 0
         return compress_with_dict(data, d, level=level, checksum=checksum)
     window_log = args.long if args.long else None
     return zstd_tpu.compress(data, level=level, checksum=checksum,
@@ -232,7 +268,12 @@ def _sniff_passthrough(data: bytes):
 
 def _decompress_bytes(data: bytes, args) -> bytes:
     import zstd_tpu
-    wlog_max = args.memory if args.memory else (args.long if args.long else 27)
+    if args.memory:
+        # <=31: a windowLog cap directly; larger: a MiB budget (ref -M#)
+        wlog_max = (args.memory if args.memory <= 31
+                    else max((args.memory * (1 << 20)).bit_length() - 1, 10))
+    else:
+        wlog_max = args.long if args.long else 27
     other = _sniff_passthrough(data)
     if other is not None:
         return other
@@ -355,33 +396,50 @@ def _do_bench(files, args) -> int:
     end = args.bench_end if args.bench_end is not None else start
     min_secs = args.bench_secs if args.bench_secs is not None else \
         (1.0 if args.verbose else 0.4)
+    def chunks(data: bytes) -> list[bytes]:
+        if args.job_size and args.job_size > 0:
+            b = args.job_size
+            return [data[i : i + b] for i in range(0, len(data), b)]
+        return [data]
+
+    def run_one(label: str, data: bytes, level: int) -> tuple:
+        parts = chunks(data)
+        blobs = [_compress_bytes(p, args) for p in parts]   # warm / result
+        ct = float("inf")
+        elapsed = 0.0
+        while elapsed < min_secs:
+            t0 = time.time()
+            blobs = [_compress_bytes(p, args) for p in parts]
+            dt = time.time() - t0
+            ct = min(ct, dt)
+            elapsed += dt
+        dtm = float("inf")
+        elapsed = 0.0
+        outs = None
+        while elapsed < min_secs:
+            t0 = time.time()
+            outs = [_decompress_bytes(b, args) for b in blobs]
+            dt = time.time() - t0
+            dtm = min(dtm, dt)
+            elapsed += dt
+        assert b"".join(outs) == data, "round-trip mismatch"
+        csize = sum(len(b) for b in blobs)
+        print(f"{level:>2}#{label:>18} :{len(data):>9} -> "
+              f"{csize:>9} ({len(data)/csize:6.3f}), "
+              f"{len(data)/ct/1e6:6.1f} MB/s, "
+              f"{len(data)/dtm/1e6:6.1f} MB/s")
+        return len(data), csize, ct, dtm
+
     for level in range(start, max(start, end) + 1):
         args.level = level
+        if len(files) > 1 and not args.bench_separate:
+            # consolidated result over the whole file set (reference
+            # default; -S switches to one row per file)
+            data = b"".join(open(f, "rb").read() for f in files)
+            run_one(f"{len(files)} files", data, level)
+            continue
         for f in files:
-            data = open(f, "rb").read()
-            blob = _compress_bytes(data, args)          # warm / result
-            ct = float("inf")
-            elapsed = 0.0
-            while elapsed < min_secs:
-                t0 = time.time()
-                blob = _compress_bytes(data, args)
-                dt = time.time() - t0
-                ct = min(ct, dt)
-                elapsed += dt
-            dtm = float("inf")
-            elapsed = 0.0
-            out = None
-            while elapsed < min_secs:
-                t0 = time.time()
-                out = _decompress_bytes(blob, args)
-                dt = time.time() - t0
-                dtm = min(dtm, dt)
-                elapsed += dt
-            assert out == data, "round-trip mismatch"
-            print(f"{level:>2}#{os.path.basename(f):>18} :{len(data):>9} -> "
-                  f"{len(blob):>9} ({len(data)/len(blob):6.3f}), "
-                  f"{len(data)/ct/1e6:6.1f} MB/s, "
-                  f"{len(data)/dtm/1e6:6.1f} MB/s")
+            run_one(os.path.basename(f), open(f, "rb").read(), level)
     return 0
 
 
@@ -398,7 +456,10 @@ def _do_train(files, args) -> int:
                                      cover=args.train_cover)
         if not args.quiet:
             print(f"optimized parameters: k={params['k']} d={params['d']}")
-    elif args.train_cover:
+    elif args.train_cover or args.train_legacy:
+        # --train-legacy routes to COVER: the divsufsort-based legacy
+        # analysis is a documented non-goal; COVER is the closest
+        # exhaustive trainer
         from .dict_builder.cover import train_from_samples_cover
         raw = train_from_samples_cover(samples, max_dict_size=args.maxdict)
     else:
@@ -496,6 +557,13 @@ def main(argv: list[str] | None = None) -> int:
     if args.trace:
         from .trace import GLOBAL_TRACER
         GLOBAL_TRACER.open_csv(args.trace)
+    if args.priority == "rt":
+        try:                        # best effort (needs privileges)
+            os.nice(-20)
+        except OSError:
+            pass
+    if args.single_thread:
+        args.threads = 1
 
     # multi-personality (zstdcli.c:913-927)
     if prog in ("unzstd", "zstdcat"):
@@ -515,7 +583,8 @@ def main(argv: list[str] | None = None) -> int:
     if args.bench is not None:
         args.level = args.bench
         return _do_bench(args.files, args)
-    if args.train or args.train_cover or args.opt_cover:
+    if (args.train or args.train_cover or args.train_fastcover
+            or args.train_legacy or args.opt_cover):
         return _do_train(args.files, args)
 
     mode = "decompress" if (args.decompress or args.test) else "compress"
@@ -572,7 +641,7 @@ def main(argv: list[str] | None = None) -> int:
                 if (head[:2] == _GZIP_MAGIC or head[:6] == _XZ_MAGIC
                         or head[:3] == _LZMA_MAGIC or head[:4] == _LZ4_MAGIC):
                     plain = False   # foreign format: whole-buffer passthrough
-            if plain and os.path.isfile(f) and \
+            if plain and not args.single_thread and os.path.isfile(f) and \
                     os.path.getsize(f) >= (8 << 20):
                 # large plain files stream through the async read-ahead /
                 # write-behind pipeline (fileio_asyncio.c analog)
@@ -599,6 +668,12 @@ def main(argv: list[str] | None = None) -> int:
                 continue
             if f == "-":
                 data = sys.stdin.buffer.read()
+                if (args.stream_size is not None and mode == "compress"
+                        and len(data) != args.stream_size):
+                    _err(f"stream size mismatch: got {len(data)}, "
+                         f"--stream-size said {args.stream_size}")
+                    rc = 1
+                    continue
             else:
                 data = open(f, "rb").read()
             if mode == "compress":
