@@ -172,3 +172,25 @@ def test_fast_levels_match_into_dict_prefix():
     assert len(blob) < 2_000          # was ~18.5 KB without the prefix fill
     plain = len(zstd_tpu.compress(data, level=1))
     assert len(blob) < plain // 4
+
+
+def test_train_on_noise_yields_usable_dictionary():
+    """Pathological (incompressible) samples once made finalize_dictionary
+    raise 'cannot serialize huffman tree'; the reference replaces the flat
+    literal distribution with a fake compressible one (ZDICT_flatLit,
+    zdict.c:649) — the trained dictionary must serialize, roundtrip, and
+    cross-decode with the reference binary."""
+    import numpy as np
+    from zstd_tpu.dict_builder.fastcover import train_from_samples
+    from zstd_tpu.dict_builder.zdict import finalize_dictionary
+    from zstd_tpu.dictionary import (load_dictionary, compress_with_dict,
+                                     decompress_with_dict)
+    rng = np.random.default_rng(79)
+    samples = [rng.integers(0, 256, 4000, dtype=np.uint8).tobytes()
+               for _ in range(24)]
+    raw = train_from_samples(samples, max_dict_size=4096)
+    dbytes = finalize_dictionary(raw, samples, dict_id=1234, level=3)
+    d = load_dictionary(dbytes)
+    data = samples[0] + samples[1]
+    blob = compress_with_dict(data, d, level=3)
+    assert decompress_with_dict(blob, d) == data

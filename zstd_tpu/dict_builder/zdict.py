@@ -66,6 +66,16 @@ def finalize_dictionary(content: bytes, samples: list[bytes],
     lit_hist, ll_hist, ml_hist, of_hist = _gather_stats(content, samples, level)
 
     huf_ct = huffman.build_huf_ctable(lit_hist, 255, huffman.HUF_TABLELOG_DEFAULT)
+    if huf_ct.table_log == 8:
+        # flat distribution: HUF_writeCTable cannot encode it — replace
+        # with the reference's fake mostly-flat-but-compressible one
+        # (ZDICT_flatLit, /root/reference/lib/dictBuilder/zdict.c:649,733)
+        lit_hist = np.full(256, 2, dtype=np.int64)
+        lit_hist[0] = 4
+        lit_hist[253] = 1
+        lit_hist[254] = 1
+        huf_ct = huffman.build_huf_ctable(lit_hist, 255,
+                                          huffman.HUF_TABLELOG_DEFAULT)
 
     def norm_for(hist, fse_log):
         total = int(hist.sum())

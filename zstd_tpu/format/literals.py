@@ -103,7 +103,13 @@ def _huf_compress(lit: bytes, single_stream: bool, prev: HufEntropyState,
         return payload, None, True
 
     huff_log = huffman.huf_optimal_table_log(huffman.HUF_TABLELOG_DEFAULT, n, max_symbol)
-    ct, hdr = huffman.build_huf_ctable_with_tree(count, max_symbol, huff_log)
+    try:
+        ct, hdr = huffman.build_huf_ctable_with_tree(count, max_symbol, huff_log)
+    except Corruption:
+        # unserializable tree (>128 symbols with incompressible weights):
+        # the reference treats any HUF error as "emit raw literals"
+        # (zstd_compress_literals.c:188 ERR_isError -> noCompressLiterals)
+        return 0, None, False
     if repeat != HufRepeat.NONE and old is not None:
         old_size = huffman.huf_estimate_compressed_size(old, count, max_symbol)
         new_size = huffman.huf_estimate_compressed_size(ct, count, max_symbol)
