@@ -65,3 +65,28 @@ def test_reference_generated_roundtrip(ref, seed):
     r = subprocess.run([REF_ZSTD, "-c", f"-{level}"], input=payload,
                        capture_output=True, check=True)
     assert zstd_tpu.decompress(r.stdout) == payload
+
+
+DECODECORPUS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".ref-build", "decodecorpus")
+
+
+@pytest.mark.skipif(not os.path.exists(DECODECORPUS),
+                    reason="reference decodecorpus tool not built "
+                           "(make -C /tmp/ref-src/tests decodecorpus)")
+def test_reference_decodecorpus_frames_decode(tmp_path):
+    """THE reference's own spec-space frame generator (tests/decodecorpus.c)
+    as an independent conformance oracle: every generated valid frame must
+    decode bit-exactly through our decoder."""
+    zdir = tmp_path / "z"
+    odir = tmp_path / "o"
+    zdir.mkdir()
+    odir.mkdir()
+    subprocess.run([DECODECORPUS, f"-p{zdir}/", f"-o{odir}/", "-n100",
+                    "-s11"], check=True, capture_output=True)
+    names = sorted(os.listdir(zdir))
+    assert len(names) == 100
+    for name in names:
+        blob = (zdir / name).read_bytes()
+        want = (odir / name.replace(".zst", "")).read_bytes()
+        assert zstd_tpu.decompress(blob, window_log_max=31) == want, name
