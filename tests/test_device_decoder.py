@@ -2,6 +2,8 @@
 sequence execution (zstd_tpu.device_decoder), cross-checked against the
 host decoder, our encoders, and the reference binary's frames."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -84,3 +86,25 @@ def test_device_decode_resident_variant():
     out_dev, n, ok = device_decompress_resident(frame)
     assert bool(ok) and int(n) == len(data)
     assert bytes(np.asarray(out_dev)[: int(n)].tobytes()) == data
+
+
+def test_device_decodes_reference_decodecorpus_frames(tmp_path):
+    """Independent conformance for the DEVICE path: frames from the
+    reference's own generator (tests/decodecorpus.c) decode bit-exactly
+    through the device literal/exec kernels."""
+    import subprocess
+    tool = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".ref-build", "decodecorpus")
+    if not os.path.exists(tool):
+        pytest.skip("reference decodecorpus tool not built")
+    zdir = tmp_path / "z"
+    odir = tmp_path / "o"
+    zdir.mkdir()
+    odir.mkdir()
+    subprocess.run([tool, f"-p{zdir}/", f"-o{odir}/", "-n12", "-s5"],
+                   check=True, capture_output=True)
+    from zstd_tpu.device_decoder import device_decompress
+    for name in sorted(os.listdir(zdir)):
+        blob = (zdir / name).read_bytes()
+        want = (odir / name.replace(".zst", "")).read_bytes()
+        assert device_decompress(blob, window_log_max=31) == want, name
