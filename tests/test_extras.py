@@ -178,3 +178,49 @@ def test_target_cblock_size_superblock(ref):
             break
     assert len(sizes) >= 8
     assert max(sizes) <= 4 * 2048  # near the target, never wildly over
+
+
+def test_frame_inspection_api():
+    """zstd.h stable-surface analogs: compressBound, getFrameContentSize,
+    findFrameCompressedSize, isFrame, getDictID_fromFrame/fromDict —
+    validated against real frames and the reference's bound guarantee."""
+    import zstd_tpu
+    from conftest import gen_text
+    from zstd_tpu.format.frame import write_skippable_frame
+    data = gen_text(50_000, seed=17)
+    blob = zstd_tpu.compress(data, level=3, checksum=True)
+    assert zstd_tpu.is_frame(blob)
+    assert not zstd_tpu.is_frame(b"\x00\x01\x02\x03\x04")
+    assert zstd_tpu.get_frame_content_size(blob) == len(data)
+    assert zstd_tpu.find_frame_compressed_size(blob) == len(blob)
+    # multi-frame walking with a skippable in front
+    sk = write_skippable_frame(b"metadata!")
+    stream = sk + blob + blob
+    p = 0
+    sizes = []
+    while p < len(stream):
+        s = zstd_tpu.find_frame_compressed_size(stream, p)
+        sizes.append(s)
+        p += s
+    assert sizes == [len(sk), len(blob), len(blob)]
+    assert zstd_tpu.get_frame_content_size(stream, 0) == 0  # skippable
+    # compress_bound holds for adversarial (incompressible) inputs
+    import numpy as np
+    rng = np.random.default_rng(1)
+    for n in (0, 1, 13, 1000, 200_000):
+        raw = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        out = zstd_tpu.compress(raw, level=1, checksum=True)
+        assert len(out) <= zstd_tpu.compress_bound(n), n
+    # dict IDs
+    from zstd_tpu.dictionary import load_dictionary, compress_with_dict
+    from zstd_tpu.dict_builder.fastcover import train_from_samples
+    from zstd_tpu.dict_builder.zdict import finalize_dictionary
+    samples = [data[i:i+5000] for i in range(0, len(data), 5000)]
+    dbytes = finalize_dictionary(train_from_samples(samples, 2048),
+                                 samples, dict_id=777, level=3)
+    assert zstd_tpu.get_dict_id_from_dict(dbytes) == 777
+    assert zstd_tpu.get_dict_id_from_dict(b"raw content dict") == 0
+    d = load_dictionary(dbytes)
+    db = compress_with_dict(data, d, level=3)
+    assert zstd_tpu.get_dict_id_from_frame(db) == 777
+    assert zstd_tpu.get_dict_id_from_frame(blob) == 0

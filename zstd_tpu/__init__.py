@@ -16,6 +16,9 @@ Top-level one-shot API (ZSTD_compress/ZSTD_decompress analog):
 from .format.codec import (compress, compress_patch, decompress,
                            decompress_patch)
 from .format.block import register_sequence_producer
+from .format.frame import (compress_bound, find_frame_compressed_size,
+                           get_dict_id_from_dict, get_dict_id_from_frame,
+                           get_frame_content_size, is_frame)
 from .errors import ZstdError, ZstdErrorCode
 from .params import CParams, get_cparams
 from .xxhash64 import xxh64
@@ -26,4 +29,7 @@ __all__ = [
     "compress", "decompress", "compress_patch", "decompress_patch",
     "register_sequence_producer", "ZstdError", "ZstdErrorCode",
     "CParams", "get_cparams", "xxh64", "__version__",
+    "compress_bound", "get_frame_content_size",
+    "find_frame_compressed_size", "is_frame",
+    "get_dict_id_from_frame", "get_dict_id_from_dict",
 ]

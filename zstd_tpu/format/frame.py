@@ -443,3 +443,80 @@ def is_skippable(data: bytes, pos: int) -> bool:
         return False
     magic = int.from_bytes(data[pos : pos + 4], "little")
     return SKIPPABLE_MAGIC_MIN <= magic <= SKIPPABLE_MAGIC_MAX
+
+
+# --------------------------------------------------------------------------
+# Frame inspection helpers (stable-API surface: zstd.h ZSTD_compressBound,
+# ZSTD_getFrameContentSize, ZSTD_findFrameCompressedSize, ZSTD_isFrame,
+# ZSTD_getDictID_fromFrame / _fromDict)
+# --------------------------------------------------------------------------
+
+def compress_bound(src_size: int) -> int:
+    """Worst-case compressed size (exact ZSTD_COMPRESSBOUND formula,
+    /root/reference/lib/zstd.h:269: srcSize + srcSize/256 + a small-block
+    margin) plus the frame envelope this encoder writes."""
+    margin = ((128 << 10) - src_size) >> 11 if src_size < (128 << 10) else 0
+    return src_size + (src_size >> 8) + margin + 22
+
+
+def is_frame(data: bytes, pos: int = 0) -> bool:
+    """ZSTD_isFrame: zstd magic or a skippable-frame magic at pos."""
+    if len(data) < pos + 4:
+        return False
+    magic = int.from_bytes(data[pos : pos + 4], "little")
+    from ..constants import ZSTD_MAGIC
+    return magic == ZSTD_MAGIC or (magic & 0xFFFFFFF0) == 0x184D2A50
+
+
+def get_frame_content_size(data: bytes, pos: int = 0) -> int | None:
+    """ZSTD_getFrameContentSize: decompressed size declared by the frame
+    header at pos, None when unknown (no FCS field); skippable frames
+    report 0. Raises on non-frames (the _ERROR return analog)."""
+    if is_skippable(data, pos):
+        return 0
+    hdr = parse_frame_header(data[pos:], 31)
+    return hdr.frame_content_size
+
+
+def find_frame_compressed_size(data: bytes, pos: int = 0) -> int:
+    """ZSTD_findFrameCompressedSize: total byte length of the frame
+    starting at pos (header + blocks + checksum, or skippable body)."""
+    if is_skippable(data, pos):
+        if len(data) < pos + 8:
+            raise ZstdError(ZstdErrorCode.srcSize_wrong, "truncated skippable")
+        return 8 + int.from_bytes(data[pos + 4 : pos + 8], "little")
+    hdr = parse_frame_header(data[pos:], 31)
+    p = pos + hdr.header_size
+    last = False
+    while not last:
+        if p + 3 > len(data):
+            raise ZstdError(ZstdErrorCode.srcSize_wrong,
+                            "truncated block header")
+        bh = int.from_bytes(data[p : p + 3], "little")
+        last = bool(bh & 1)
+        btype = (bh >> 1) & 3
+        bsize = bh >> 3
+        p += 3 + (1 if btype == 1 else bsize)
+    if hdr.checksum_flag:
+        p += 4
+    if p > len(data):
+        raise ZstdError(ZstdErrorCode.srcSize_wrong, "truncated frame")
+    return p - pos
+
+
+def get_dict_id_from_frame(data: bytes, pos: int = 0) -> int:
+    """ZSTD_getDictID_fromFrame: 0 = none/unknown."""
+    try:
+        return parse_frame_header(data[pos:], 31).dict_id
+    except ZstdError:
+        return 0
+
+
+def get_dict_id_from_dict(data: bytes) -> int:
+    """ZSTD_getDictID_fromDict: 0 for raw-content dictionaries."""
+    from ..constants import DICT_MAGIC
+    if len(data) < 8:
+        return 0
+    if int.from_bytes(data[:4], "little") != DICT_MAGIC:
+        return 0
+    return int.from_bytes(data[4:8], "little")
