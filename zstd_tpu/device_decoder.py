@@ -61,11 +61,12 @@ def _expand_lut(dt: huffman.HufDTable) -> tuple[np.ndarray, np.ndarray]:
     return dt.symbol[idx].astype(np.int32), dt.length[idx].astype(np.int32)
 
 
-@jax.jit
-def _huf_batch(stream_bytes, start_bits, n_syms, sym_luts, len_luts):
+@functools.partial(jax.jit, static_argnames=("max_syms",))
+def _huf_batch(stream_bytes, start_bits, n_syms, sym_luts, len_luts,
+               max_syms=_STREAM_CAP):
     wins = jax.vmap(huf_window_values)(stream_bytes)
     return huf_decode_streams(wins, start_bits, n_syms, sym_luts, len_luts,
-                              _STREAM_CAP)
+                              max_syms)
 
 
 class _DeviceUnsupported(Exception):
@@ -87,14 +88,23 @@ def _decode_literals_device(jobs: list[_LitJob]) -> dict[int, bytes]:
     for g in range(0, len(lanes), 4 * _GROUP):
         chunk = lanes[g : g + 4 * _GROUP]
         L = 4 * _GROUP  # fixed lane count: one compile for every group
-        sb = np.zeros((L, _STREAM_CAP), np.uint8)
+        # symbol/byte caps bucketed to the chunk's actual maxima: the decode
+        # scan's step count IS the symbol cap, so a group of small streams
+        # must not pay the full 36K-step program (buckets share compiles)
+        mx_syms = max(regen for _, _, regen in chunk)
+        mx_bytes = max(len(s) for _, s, _ in chunk)
+        if mx_bytes > _STREAM_CAP:
+            raise _DeviceUnsupported("literal stream exceeds device cap")
+        syms_cap = min(_bucket(max(mx_syms, 1024)), _STREAM_CAP)
+        if mx_syms > syms_cap:
+            raise _DeviceUnsupported("literal stream exceeds device cap")
+        byte_cap = min(_bucket(max(mx_bytes, 1024)), _STREAM_CAP)
+        sb = np.zeros((L, byte_cap), np.uint8)
         bits = np.zeros(L, np.int32)
         nsy = np.zeros(L, np.int32)
         syl = np.zeros((L, 1 << MAX_TLOG), np.int32)
         lel = np.ones((L, 1 << MAX_TLOG), np.int32)
         for i, (j, s_bytes, regen) in enumerate(chunk):
-            if len(s_bytes) > _STREAM_CAP:
-                raise _DeviceUnsupported("literal stream exceeds device cap")
             if len(s_bytes) == 0:
                 raise Corruption("literal stream size out of range")
             sb[i, : len(s_bytes)] = np.frombuffer(s_bytes, np.uint8)
@@ -107,7 +117,7 @@ def _decode_literals_device(jobs: list[_LitJob]) -> dict[int, bytes]:
             lel[i] = j.len_lut
         pending.append((chunk, _huf_batch(
             jnp.asarray(sb), jnp.asarray(bits), jnp.asarray(nsy),
-            jnp.asarray(syl), jnp.asarray(lel))))
+            jnp.asarray(syl), jnp.asarray(lel), max_syms=syms_cap)))
     for chunk, (dev_syms, dev_final) in pending:
         final = np.asarray(dev_final)
         # a well-formed backward stream ends exactly at bit 0; anything else
@@ -198,21 +208,49 @@ def _parse_literals_section(payload: bytes, hst: litmod.HufDecodeState):
 def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
     """Decode all frames with the device literal/exec kernels. Frames whose
     blocks exceed a device kernel limit fall back to the host decoder
-    per frame (module contract above)."""
-    out = bytearray()
+    per frame (module contract above).
+
+    Multi-frame inputs are software-pipelined: every frame's exec program is
+    dispatched (async) before any output is fetched, so host parsing of
+    frame k+1 and the d2h of frame k overlap device execution."""
     pos = 0
     if len(data) == 0:
         raise ZstdError(ZstdErrorCode.srcSize_wrong, "empty input")
+    jobs = []  # ("dev", outj, ok, n, hdr, csum_pos) | ("host", content)
     while pos < len(data):
         if is_skippable(data, pos):
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
             pos += 8 + size
             continue
         try:
-            content, pos = _device_decode_frame(data, pos, window_log_max)
+            outj, ok, n, p, hdr = _device_decode_frame(
+                data, pos, window_log_max, resident=True)
+            csum_pos = p if hdr.checksum_flag else -1
+            if hdr.checksum_flag:
+                p += 4
+            jobs.append(("dev", outj, ok, n, hdr, csum_pos))
+            pos = p
         except _DeviceUnsupported:
             from .format.frame import decompress_frame
             content, pos = decompress_frame(data, pos, window_log_max)
+            jobs.append(("host", content))
+    out = bytearray()
+    for job in jobs:
+        if job[0] == "host":
+            out += job[1]
+            continue
+        _, outj, ok, n, hdr, csum_pos = job
+        if not bool(ok):
+            raise Corruption("device exec: dependency depth exceeded")
+        content = np.asarray(outj)[:n].tobytes()
+        if hdr.frame_content_size is not None and \
+                len(content) != hdr.frame_content_size:
+            raise Corruption("decoded size mismatch")
+        if csum_pos >= 0:
+            stored = int.from_bytes(data[csum_pos : csum_pos + 4], "little")
+            if stored != (xxh64(content) & 0xFFFFFFFF):
+                raise ZstdError(ZstdErrorCode.checksum_wrong,
+                                "content checksum mismatch")
         out += content
     return bytes(out)
 
@@ -242,8 +280,8 @@ def device_decompress_resident(data: bytes, window_log_max: int = 31):
     frame only."""
     if is_skippable(data, 0):
         raise ZstdError(ZstdErrorCode.prefix_unknown, "skippable frame")
-    outj, ok, n, _end = _device_decode_frame(data, 0, window_log_max,
-                                             resident=True)
+    outj, ok, n, _end, _hdr = _device_decode_frame(data, 0, window_log_max,
+                                                   resident=True)
     return outj, n, ok
 
 
@@ -407,7 +445,7 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
         jnp.int32(len(ll)), jnp.int32(n), int(npad),
         jnp.zeros(1, jnp.uint8), jnp.int32(0))
     if resident:
-        return outj, ok, int(n), p
+        return outj, ok, int(n), p, hdr
     if not bool(ok):
         raise Corruption("device exec: dependency depth exceeded")
     content = np.asarray(outj)[:n].tobytes()
