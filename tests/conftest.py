@@ -30,12 +30,16 @@ def have_ref() -> bool:
 
 
 def ref_compress(data: bytes, *args: str) -> bytes:
+    if not have_ref():
+        pytest.skip("reference zstd binary not built (.ref-build)")
     r = subprocess.run([REF_ZSTD, "-c", *args], input=data,
                        capture_output=True, check=True)
     return r.stdout
 
 
 def ref_decompress(data: bytes, *args: str) -> bytes:
+    if not have_ref():
+        pytest.skip("reference zstd binary not built (.ref-build)")
     r = subprocess.run([REF_ZSTD, "-dc", *args], input=data,
                        capture_output=True, check=True)
     return r.stdout

@@ -180,15 +180,16 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
             state=state)
         if res is not None:
             return res
-    if ((cparams.strategy == 2 and override not in ("dp", "greedy"))
-            or (cparams.strategy in (3, 4) and override not in ("dp", "greedy"))
-            or (cparams.strategy == 5 and override == "lazy")):
+    if (cparams.strategy in (2, 3, 4, 5)
+            and override not in ("dp", "greedy")):
         # hash-chain lazy matchfinder (zstd_lazy.c class): default for
-        # the dfast-class levels (3-4) AND the greedy/lazy strategies
+        # the dfast-class levels (3-4), the greedy/lazy strategies
         # (levels ~5-7: -1.7..-1.8% vs ref at 4-24 MB/s with the
-        # far-reach table, where the DP was -9% but 0.1 MB/s); opt-in
-        # for strategy 5+ (levels 8-12) where the chain route's margin
-        # thins to -0.2..+0.3% and the DP's ratio edge wins the default
+        # far-reach table, where the DP was -9% but 0.1 MB/s), AND the
+        # lazy2 class (levels 8-12) with a deep-chain schedule
+        # (256..1024 attempts: -0.2..-0.5% vs ref at MB/s-class speed
+        # where the DP was -7..-10% but ~0.1 MB/s — a 20-40x speedup
+        # the ratio oracle still gates below the reference)
         from .opt import find_sequences_chainlazy
         res = find_sequences_chainlazy(
             full, block_start, block_end, window_low, state.reps, cparams,

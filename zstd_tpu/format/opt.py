@@ -126,9 +126,17 @@ def find_sequences_chainlazy(full: np.ndarray, block_start: int,
         # L3 -1.5% / L4 -0.3% vs the reference at ~10-19 MB/s
         depth = 32 if cparams.chain_log <= 16 else 64
         defer, mls = 2, 4
-    else:                     # greedy/lazy/lazy2: 0/1/2 deferral steps
+    elif strat <= 4:          # greedy/lazy: 0/1 deferral steps
         depth = 2 << min(max(cparams.search_log, 3), 8)
         defer = min(max(strat - 3, 0), 2)
+        mls = min(max(cparams.min_match, 4), 7)
+    else:                     # lazy2 class (levels 8-12): deep chains stand
+        # in for the reference's wider row/BT reach — measured on the 8 MB
+        # pinned corpus: L9 -0.20%, L10(512) -0.53%, L12(1024) -0.30% vs
+        # the reference at MB/s-class speed (the DP route is -7..-10% but
+        # ~0.1 MB/s; ZSTD_TPU_HOST_PARSER=dp restores it)
+        depth = 256 << max(min(cparams.search_log, 7) - 4, 0)
+        defer = 2
         mls = min(max(cparams.min_match, 4), 7)
     import os as _os
     depth = int(_os.environ.get("ZSTD_TPU_LAZY_DEPTH", depth))
