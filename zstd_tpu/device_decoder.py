@@ -1,5 +1,5 @@
-"""Device decode driver: frames parsed on host, literals + sequence
-execution on device.
+"""Device decode driver: frames parsed on host, everything else in ONE
+device program per frame.
 
 The TPU analog of the reference decoder's split — C orchestration around
 vectorized inner loops (/root/reference/lib/decompress/zstd_decompress.c:951
@@ -9,64 +9,48 @@ zstd_decompress_block.c:1001 ZSTD_execSequence):
   host:   frame/block headers, literal-section headers, Huffman table
           descriptions, FSE sequence decode + repcode resolution (byte-
           serial, a few KB per block)
-  device: batched 4-stream Huffman literal decode (all streams of a block
-          group in lockstep) and whole-frame sequence execution
-          (ops/decode_dev.py)
+  device: fused per-frame program (ops/decode_dev.fused_frame_decode) —
+          batched 4-stream Huffman literal decode for every stream of
+          every block, device-side literal-pool assembly, and the
+          frame-global sequence executor. Decoded literals never cross
+          the link: the only d2h is the output bytes (or just the ok
+          scalar for device-resident consumers).
 
 Frames of any zstd encoder (including the reference binary) are accepted;
-blocks whose execution exceeds the wavefront depth fall back to the host
+blocks whose shape exceeds a device kernel limit fall back to the host
 decoder per frame.
 """
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import BLOCK_MAX_SIZE, BT_COMPRESSED, BT_RAW, BT_RLE
+from .constants import BT_COMPRESSED, BT_RAW, BT_RLE
 from .errors import Corruption, ZstdError, ZstdErrorCode
 from .format import literals as litmod
 from .format import sequences as sq
 from .format import huffman
 from .format.frame import is_skippable, parse_frame_header
 from .format.matchfinder import resolve_offset, update_reps
-from .ops.decode_dev import (MAX_TLOG, exec_sequences, huf_decode_streams,
-                             huf_window_values)
+from .ops.decode_dev import MAX_TLOG, fused_frame_decode
 from .runtime import enable_compile_cache
 from .xxhash64 import xxh64
 
 enable_compile_cache()
 
 _STREAM_CAP = 36 * 1024            # bytes per Huffman stream (4X of 128K)
-_GROUP = 16                        # blocks per device Huffman batch
-
-
-@dataclasses.dataclass
-class _LitJob:
-    """One compressed-literals stream set for the device batch."""
-    block_idx: int
-    streams: list  # list[(bytes, regen_len)]
-    sym_lut: np.ndarray
-    len_lut: np.ndarray
 
 
 def _expand_lut(dt: huffman.HufDTable) -> tuple[np.ndarray, np.ndarray]:
-    """Scale a 2^tlog LUT up to the fixed 2^MAX_TLOG device window."""
+    """Scale a 2^tlog LUT up to the fixed 2^MAX_TLOG device window.
+    uint8 both ways (symbols are bytes, lengths <= 11) so the per-frame
+    table upload stays tiny."""
     shift = MAX_TLOG - dt.table_log
     idx = np.arange(1 << MAX_TLOG) >> shift
-    return dt.symbol[idx].astype(np.int32), dt.length[idx].astype(np.int32)
-
-
-@functools.partial(jax.jit, static_argnames=("max_syms",))
-def _huf_batch(stream_bytes, start_bits, n_syms, sym_luts, len_luts,
-               max_syms=_STREAM_CAP):
-    wins = jax.vmap(huf_window_values)(stream_bytes)
-    return huf_decode_streams(wins, start_bits, n_syms, sym_luts, len_luts,
-                              max_syms)
+    return dt.symbol[idx].astype(np.uint8), dt.length[idx].astype(np.uint8)
 
 
 class _DeviceUnsupported(Exception):
@@ -74,68 +58,10 @@ class _DeviceUnsupported(Exception):
     host decoder (module contract: never a user-facing error by itself)."""
 
 
-def _decode_literals_device(jobs: list[_LitJob]) -> dict[int, bytes]:
-    """Batch all compressed-literal streams on device; returns per-block
-    literal bytes. All groups are dispatched asynchronously before any
-    result is fetched, so device Huffman decode overlaps host work."""
-    out: dict[int, bytes] = {}
-    lanes = []
-    for j in jobs:
-        for s_bytes, regen in j.streams:
-            lanes.append((j, s_bytes, regen))
-    res_parts: dict[int, list] = {j.block_idx: [] for j in jobs}
-    pending = []  # (chunk, device result, active mask) — fetched at the end
-    for g in range(0, len(lanes), 4 * _GROUP):
-        chunk = lanes[g : g + 4 * _GROUP]
-        L = 4 * _GROUP  # fixed lane count: one compile for every group
-        # symbol/byte caps bucketed to the chunk's actual maxima: the decode
-        # scan's step count IS the symbol cap, so a group of small streams
-        # must not pay the full 36K-step program (buckets share compiles)
-        mx_syms = max(regen for _, _, regen in chunk)
-        mx_bytes = max(len(s) for _, s, _ in chunk)
-        if mx_bytes > _STREAM_CAP:
-            raise _DeviceUnsupported("literal stream exceeds device cap")
-        syms_cap = min(_bucket(max(mx_syms, 1024)), _STREAM_CAP)
-        if mx_syms > syms_cap:
-            raise _DeviceUnsupported("literal stream exceeds device cap")
-        byte_cap = min(_bucket(max(mx_bytes, 1024)), _STREAM_CAP)
-        sb = np.zeros((L, byte_cap), np.uint8)
-        bits = np.zeros(L, np.int32)
-        nsy = np.zeros(L, np.int32)
-        syl = np.zeros((L, 1 << MAX_TLOG), np.int32)
-        lel = np.ones((L, 1 << MAX_TLOG), np.int32)
-        for i, (j, s_bytes, regen) in enumerate(chunk):
-            if len(s_bytes) == 0:
-                raise Corruption("literal stream size out of range")
-            sb[i, : len(s_bytes)] = np.frombuffer(s_bytes, np.uint8)
-            last = s_bytes[-1]
-            if last == 0:
-                raise Corruption("huffman stream: missing sentinel")
-            bits[i] = 8 * (len(s_bytes) - 1) + (last.bit_length() - 1)
-            nsy[i] = regen
-            syl[i] = j.sym_lut
-            lel[i] = j.len_lut
-        pending.append((chunk, _huf_batch(
-            jnp.asarray(sb), jnp.asarray(bits), jnp.asarray(nsy),
-            jnp.asarray(syl), jnp.asarray(lel), max_syms=syms_cap)))
-    for chunk, (dev_syms, dev_final) in pending:
-        final = np.asarray(dev_final)
-        # a well-formed backward stream ends exactly at bit 0; anything else
-        # means over-read (the device gather clamps rather than trapping)
-        if np.any(final[: len(chunk)] != 0):
-            raise Corruption("huffman stream over-read (device decode)")
-        syms = np.asarray(dev_syms)
-        for i, (j, s_bytes, regen) in enumerate(chunk):
-            res_parts[j.block_idx].append(syms[i, :regen].tobytes())
-    for j in jobs:
-        out[j.block_idx] = b"".join(res_parts[j.block_idx])
-    return out
-
-
 def _parse_literals_section(payload: bytes, hst: litmod.HufDecodeState):
     """Like decode_literals but WITHOUT running the Huffman streams: returns
-    (kind, lit_bytes_or_None, jobs_spec, regen, consumed, next_state).
-    kind: 'raw' | 'rle' | 'huf'."""
+    (kind, lit_bytes_or_None, (streams, dtable)|None, regen, consumed,
+    next_state). kind: 'raw' | 'rle' | 'huf'."""
     # reuse the host parser for header/tree by decoding sizes only: call the
     # existing decoder for raw/rle, but intercept compressed modes
     if not payload:
@@ -181,7 +107,6 @@ def _parse_literals_section(payload: bytes, hst: litmod.HufDecodeState):
         dt = hst.dtable
         nxt = hst
         body = section
-    sym_lut, len_lut = _expand_lut(dt)
     if single:
         streams = [(body, regen)]
     else:
@@ -202,33 +127,41 @@ def _parse_literals_section(payload: bytes, hst: litmod.HufDecodeState):
             streams.append((body[p : p + sizes[t]], ln))
             rem -= ln
             p += sizes[t]
-    return ("huf", None, (streams, sym_lut, len_lut), regen, lh + csize, nxt)
+    return ("huf", None, (streams, dt), regen, lh + csize, nxt)
+
+
+def _raise_device_failure(okj, finalj, nl) -> None:
+    """Turn a failed fused-program ok scalar into the right typed error."""
+    final = np.asarray(finalj)[:nl]
+    if nl and np.any(final != 0):
+        raise Corruption("huffman stream over-read (device decode)")
+    raise Corruption("device exec: dependency depth exceeded")
 
 
 def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
-    """Decode all frames with the device literal/exec kernels. Frames whose
-    blocks exceed a device kernel limit fall back to the host decoder
-    per frame (module contract above).
+    """Decode all frames with the fused device program. Frames whose blocks
+    exceed a device kernel limit fall back to the host decoder per frame
+    (module contract above).
 
-    Multi-frame inputs are software-pipelined: every frame's exec program is
+    Multi-frame inputs are software-pipelined: every frame's program is
     dispatched (async) before any output is fetched, so host parsing of
     frame k+1 and the d2h of frame k overlap device execution."""
     pos = 0
     if len(data) == 0:
         raise ZstdError(ZstdErrorCode.srcSize_wrong, "empty input")
-    jobs = []  # ("dev", outj, ok, n, hdr, csum_pos) | ("host", content)
+    jobs = []  # ("dev", out, ok, final, nl, n, hdr, csum_pos) | ("host", b)
     while pos < len(data):
         if is_skippable(data, pos):
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
             pos += 8 + size
             continue
         try:
-            outj, ok, n, p, hdr = _device_decode_frame(
-                data, pos, window_log_max, resident=True)
+            outj, okj, finalj, nl, n, p, hdr = _device_decode_frame(
+                data, pos, window_log_max)
             csum_pos = p if hdr.checksum_flag else -1
             if hdr.checksum_flag:
                 p += 4
-            jobs.append(("dev", outj, ok, n, hdr, csum_pos))
+            jobs.append(("dev", outj, okj, finalj, nl, n, hdr, csum_pos))
             pos = p
         except _DeviceUnsupported:
             from .format.frame import decompress_frame
@@ -239,9 +172,9 @@ def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
         if job[0] == "host":
             out += job[1]
             continue
-        _, outj, ok, n, hdr, csum_pos = job
-        if not bool(ok):
-            raise Corruption("device exec: dependency depth exceeded")
+        _, outj, okj, finalj, nl, n, hdr, csum_pos = job
+        if not bool(okj):
+            _raise_device_failure(okj, finalj, nl)
         content = np.asarray(outj)[:n].tobytes()
         if hdr.frame_content_size is not None and \
                 len(content) != hdr.frame_content_size:
@@ -255,17 +188,10 @@ def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
     return bytes(out)
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def _exec_jit(lits_j, n_lit, lls_j, mls_j, off_j, n_seq, out_len, n,
-              hist, hist_len):
-    return exec_sequences(lits_j, n_lit, lls_j, mls_j, off_j, n_seq,
-                          out_len, n, hist, hist_len)
-
-
-def _bucket(n: int) -> int:
-    """Pad program sizes to coarse buckets so frames of different sizes
-    share compiled executables."""
-    b = 4096
+def _bucket(n: int, base: int = 4096) -> int:
+    """Pad program sizes to coarse power-of-two buckets so frames of
+    different sizes share compiled executables."""
+    b = base
     while b < n:
         b *= 2
     return b
@@ -276,17 +202,19 @@ def device_decompress_resident(data: bytes, window_log_max: int = 31):
     for feeding decompressed bytes straight into a device input pipeline:
     no d2h transfer, no host checksum). Returns (device uint8 array padded
     to a size bucket, content_length, ok_scalar) — callers must check
-    `bool(ok_scalar)` after consuming. Multi-frame inputs take the first
-    frame only."""
+    `bool(ok_scalar)` after consuming; it folds in the Huffman over-read
+    check. Multi-frame inputs take the first frame only."""
     if is_skippable(data, 0):
         raise ZstdError(ZstdErrorCode.prefix_unknown, "skippable frame")
-    outj, ok, n, _end, _hdr = _device_decode_frame(data, 0, window_log_max,
-                                                   resident=True)
-    return outj, n, ok
+    outj, okj, _finalj, _nl, n, _end, _hdr = _device_decode_frame(
+        data, 0, window_log_max)
+    return outj, n, okj
 
 
-def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
-                         resident: bool = False):
+def _device_decode_frame(data: bytes, pos: int, window_log_max: int):
+    """Parse one frame on host and dispatch the fused device program.
+    Returns device handles only — (out, ok, final, n_lanes, content_len,
+    end_pos, header); callers fetch."""
     hdr = parse_frame_header(data[pos:], window_log_max)
     p = pos + hdr.header_size
     hst = litmod.HufDecodeState()
@@ -299,12 +227,17 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
     nat = get_native()
     nctx = nat.dctx_new() if nat is not None else None
 
-    blocks = []        # (content_len, lits_bytes|None, lit_job, seqs|None)
-    jobs: list[_LitJob] = []
-    seq_lists = []     # per block: (ll, ml, off_abs) np arrays
-    lit_order = []     # per block literal source: bytes or ('dev', idx)
+    lanes: list[tuple[bytes, int]] = []    # (stream bytes, n symbols)
+    lane_tab: list[int] = []               # lane -> table index
+    tables: list[tuple[np.ndarray, np.ndarray]] = []
+    table_ids: dict[int, int] = {}
+    table_pins: list = []   # keep dt objects alive: id() keys must not recycle
+    segs: list[tuple[int, int, int, bool]] = []  # (start, lane, src, is_dev)
+    host_pool = bytearray()
+    pool_off = 0
+    seq_lists = []     # per block: (ll, ml, off_abs, lit_count) or None
+    blocks_lit = []    # per block literal count
     total_len = 0
-    bi = 0
     last = False
     try:
         while not last:
@@ -317,15 +250,24 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
             bsize = bh >> 3
             p += 3
             if btype == BT_RAW:
-                raw = data[p : p + bsize]
+                chunk = data[p : p + bsize]
                 p += bsize
-                lit_order.append(raw)
+                if chunk:
+                    segs.append((pool_off, 0, len(host_pool), False))
+                    host_pool += chunk
+                    pool_off += len(chunk)
                 seq_lists.append(None)
+                blocks_lit.append(len(chunk))
                 total_len += bsize
             elif btype == BT_RLE:
-                lit_order.append(data[p : p + 1] * bsize)
-                seq_lists.append(None)
+                chunk = data[p : p + 1] * bsize
                 p += 1
+                if chunk:
+                    segs.append((pool_off, 0, len(host_pool), False))
+                    host_pool += chunk
+                    pool_off += len(chunk)
+                seq_lists.append(None)
+                blocks_lit.append(len(chunk))
                 total_len += bsize
             elif btype == BT_COMPRESSED:
                 payload = data[p : p + bsize]
@@ -333,12 +275,35 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
                 kind, lit, spec, regen, used, hst = _parse_literals_section(
                     payload, hst)
                 if kind == "huf":
-                    streams, sym_lut, len_lut = spec
-                    job = _LitJob(bi, streams, sym_lut, len_lut)
-                    jobs.append(job)
-                    lit_order.append(("dev", bi))
+                    streams, dt = spec
+                    ti = table_ids.get(id(dt))
+                    if ti is None:
+                        ti = len(tables)
+                        table_ids[id(dt)] = ti
+                        table_pins.append(dt)
+                        tables.append(_expand_lut(dt))
+                    for s_bytes, ln in streams:
+                        if len(s_bytes) == 0:
+                            raise Corruption(
+                                "literal stream size out of range")
+                        if s_bytes[-1] == 0:
+                            raise Corruption(
+                                "huffman stream: missing sentinel")
+                        if len(s_bytes) > _STREAM_CAP or ln > _STREAM_CAP:
+                            raise _DeviceUnsupported(
+                                "literal stream exceeds device cap")
+                        if ln:
+                            segs.append((pool_off, len(lanes), 0, True))
+                            pool_off += ln
+                        lanes.append((s_bytes, ln))
+                        lane_tab.append(ti)
+                    lit_count = regen
                 else:
-                    lit_order.append(lit)
+                    if lit:
+                        segs.append((pool_off, 0, len(host_pool), False))
+                        host_pool += lit
+                        pool_off += len(lit)
+                    lit_count = len(lit)
                 if nctx is not None:
                     res = nat.decode_sequences(nctx, payload[used:])
                     if res is None:
@@ -346,7 +311,8 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
                     lls, mls, offs = res
                     nb = len(lls)
                 else:
-                    nb, fst, c2 = sq.parse_sequences_section(payload[used:], fst)
+                    nb, fst, c2 = sq.parse_sequences_section(payload[used:],
+                                                             fst)
                     if nb:
                         lls, obs, mls = sq.decode_sequences(
                             payload[used + c2 :], nb, fst)
@@ -361,51 +327,41 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
                     span = int(lls.sum() + mls.sum())
                     seq_lists.append((lls.astype(np.int64),
                                       mls.astype(np.int64),
-                                      offs.astype(np.int64), regen))
-                    total_len += span + (regen - int(lls.sum()))
+                                      offs.astype(np.int64), lit_count))
+                    total_len += span + (lit_count - int(lls.sum()))
                 else:
                     seq_lists.append(None)
-                    total_len += regen
+                    total_len += lit_count
+                blocks_lit.append(lit_count)
             else:
                 raise Corruption("reserved block type")
-            bi += 1
 
     finally:
         if nctx is not None:
             nat.dctx_free(nctx)
-    # device literal decode for all huf jobs
-    dev_lits = _decode_literals_device(jobs) if jobs else {}
 
-    # assemble the frame-global literal pool and sequence arrays.
-    # literal-only spans (raw/RLE blocks, trailing literals of each block)
-    # become zero-match pseudo-sequences so every match's global position
-    # comes out of one running (ll + ml) prefix sum on device.
-    lit_pool = []
+    # frame-global sequence arrays: literal-only spans (raw/RLE blocks,
+    # trailing literals of each block) become zero-match pseudo-sequences
+    # so every match's global position comes out of one running (ll + ml)
+    # prefix sum on device
     g_ll, g_ml, g_off = [], [], []
-    for idx, src in enumerate(lit_order):
-        if isinstance(src, tuple):
-            lit_bytes = dev_lits[src[1]]
-        else:
-            lit_bytes = src
-        lit_pool.append(lit_bytes)
-        sl = seq_lists[idx]
+    for idx, sl in enumerate(seq_lists):
         if sl is None:
-            if len(lit_bytes):
-                g_ll.append(np.array([len(lit_bytes)], np.int64))
+            if blocks_lit[idx]:
+                g_ll.append(np.array([blocks_lit[idx]], np.int64))
                 g_ml.append(np.zeros(1, np.int64))
                 g_off.append(np.ones(1, np.int64))
             continue
-        lls, mls, offs, regen = sl
+        lls, mls, offs, lit_count = sl
         g_ll.append(lls)
         g_ml.append(mls)
         g_off.append(offs)
-        trailing = int(regen - lls.sum())
+        trailing = int(lit_count - lls.sum())
         if trailing:
             g_ll.append(np.array([trailing], np.int64))
             g_ml.append(np.zeros(1, np.int64))
             g_off.append(np.ones(1, np.int64))
 
-    lits_all = np.frombuffer(b"".join(lit_pool), np.uint8)
     n = total_len
     if g_ll:
         ll = np.concatenate(g_ll)
@@ -427,37 +383,55 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int,
         if bool(bad.any()):
             raise Corruption("offset beyond window (device decode)")
 
-    # pad and run the frame-global executor; pure-literal gaps BETWEEN
-    # sequence blocks must appear as extra literal runs: encode them by
-    # inserting zero-match sequences is unnecessary — uncovered positions
-    # consume the literal pool in order, which matches block order.
-    # program sizes are bucketed so frames of different sizes share
-    # compiled executables.
+    # pad every program dimension to coarse buckets so frames of different
+    # shapes share compiled executables
     npad = _bucket(int(n))
     seq_cap = _bucket(max(len(ll), 1))
-    lls_j = jnp.asarray(np.pad(ll, (0, seq_cap - len(ll))).astype(np.int32))
-    mls_j = jnp.asarray(np.pad(ml, (0, seq_cap - len(ml))).astype(np.int32))
-    off_j = jnp.asarray(np.pad(off, (0, seq_cap - len(off))).astype(np.int32))
-    lits_j = jnp.asarray(np.pad(
-        lits_all, (0, npad - len(lits_all))))
-    outj, ok = _exec_jit(
-        lits_j, jnp.int32(len(lits_all)), lls_j, mls_j, off_j,
-        jnp.int32(len(ll)), jnp.int32(n), int(npad),
-        jnp.zeros(1, jnp.uint8), jnp.int32(0))
-    if resident:
-        return outj, ok, int(n), p, hdr
-    if not bool(ok):
-        raise Corruption("device exec: dependency depth exceeded")
-    content = np.asarray(outj)[:n].tobytes()
+    nl = len(lanes)
+    L = _bucket(max(nl, 1), base=4)
+    mx_bytes = max((len(s) for s, _ in lanes), default=1)
+    mx_syms = max((ln for _, ln in lanes), default=1)
+    byte_cap = min(_bucket(max(mx_bytes, 1024)), _STREAM_CAP)
+    syms_cap = min(_bucket(max(mx_syms, 1024)), _STREAM_CAP)
+    if mx_syms > syms_cap:
+        raise _DeviceUnsupported("literal stream exceeds device cap")
+    T = _bucket(max(len(tables), 1), base=2)
+    S = _bucket(max(len(segs), 1), base=16)
+    Hcap = _bucket(max(len(host_pool), 1), base=1024)
 
-    if hdr.frame_content_size is not None and \
-            len(content) != hdr.frame_content_size:
-        raise Corruption("decoded size mismatch")
-    if hdr.checksum_flag:
-        stored = int.from_bytes(data[p : p + 4], "little")
-        calc = xxh64(content) & 0xFFFFFFFF
-        if stored != calc:
-            raise ZstdError(ZstdErrorCode.checksum_wrong,
-                            "content checksum mismatch")
-        p += 4
-    return content, p
+    sb = np.zeros((L, byte_cap), np.uint8)
+    bits = np.zeros(L, np.int32)
+    nsy = np.zeros(L, np.int32)
+    for i, (s_bytes, ln) in enumerate(lanes):
+        sb[i, : len(s_bytes)] = np.frombuffer(s_bytes, np.uint8)
+        bits[i] = 8 * (len(s_bytes) - 1) + (s_bytes[-1].bit_length() - 1)
+        nsy[i] = ln
+    ltab = np.zeros(L, np.int32)
+    ltab[:nl] = lane_tab
+    lut_sym = np.zeros((T, 1 << MAX_TLOG), np.uint8)
+    lut_len = np.ones((T, 1 << MAX_TLOG), np.uint8)
+    for t, (s_, l_) in enumerate(tables):
+        lut_sym[t] = s_
+        lut_len[t] = l_
+    seg_start = np.full(S, npad, np.int32)
+    seg_lane = np.zeros(S, np.int32)
+    seg_src = np.zeros(S, np.int32)
+    seg_dev = np.zeros(S, bool)
+    for i, (st, lane, src, is_dev) in enumerate(segs):
+        seg_start[i] = st
+        seg_lane[i] = lane
+        seg_src[i] = src
+        seg_dev[i] = is_dev
+    hp = np.zeros(Hcap, np.uint8)
+    hp[: len(host_pool)] = np.frombuffer(bytes(host_pool), np.uint8)
+
+    outj, okj, finalj = fused_frame_decode(
+        jnp.asarray(sb), jnp.asarray(bits), jnp.asarray(nsy), jnp.int32(nl),
+        jnp.asarray(lut_sym), jnp.asarray(lut_len), jnp.asarray(ltab),
+        jnp.asarray(seg_start), jnp.asarray(seg_lane), jnp.asarray(seg_src),
+        jnp.asarray(seg_dev), jnp.asarray(hp), jnp.int32(pool_off),
+        jnp.asarray(np.pad(ll, (0, seq_cap - len(ll))).astype(np.int32)),
+        jnp.asarray(np.pad(ml, (0, seq_cap - len(ml))).astype(np.int32)),
+        jnp.asarray(np.pad(off, (0, seq_cap - len(off))).astype(np.int32)),
+        jnp.int32(len(ll)), jnp.int32(n), max_syms=syms_cap, n=int(npad))
+    return outj, okj, finalj, nl, int(n), p, hdr

@@ -87,6 +87,63 @@ def huf_decode_streams(wins: jax.Array, start_bits: jax.Array,
     return syms.T, final_pos  # [L, max_syms], [L]
 
 
+def assemble_pool(syms: jax.Array, seg_start: jax.Array, seg_lane: jax.Array,
+                  seg_src: jax.Array, seg_is_dev: jax.Array,
+                  host_lits: jax.Array, npad: int) -> jax.Array:
+    """Build the frame-global literal pool ON DEVICE from the Huffman lanes
+    plus host-supplied raw/RLE literal bytes, so decoded literals never
+    cross the link. Segments are pool spans in increasing start order:
+    dev segments read lane `seg_lane`'s symbols, host segments read
+    `host_lits[seg_src + within]`. Starts equal to `npad` are padding
+    (dropped by the scatter)."""
+    S = seg_start.shape[0]
+    pos = jnp.arange(npad, dtype=jnp.int32)
+    marker = jnp.full(npad, -1, jnp.int32).at[seg_start].max(
+        jnp.arange(S, dtype=jnp.int32), mode="drop")
+    seg = jax.lax.associative_scan(jnp.maximum, marker)
+    seg = jnp.clip(seg, 0, S - 1)
+    within = pos - seg_start[seg]
+    msyms = syms.shape[1]
+    flat = seg_lane[seg] * msyms + jnp.clip(within, 0, msyms - 1)
+    dev_val = syms.reshape(-1)[jnp.clip(flat, 0, syms.size - 1)]
+    hv = host_lits[jnp.clip(seg_src[seg] + within, 0,
+                            host_lits.shape[0] - 1)]
+    return jnp.where(seg_is_dev[seg], dev_val, hv)
+
+
+@functools.partial(jax.jit, static_argnames=("max_syms", "n"))
+def fused_frame_decode(sb, start_bits, n_syms, n_lanes, lut_sym, lut_len,
+                       lane_tab, seg_start, seg_lane, seg_src, seg_is_dev,
+                       host_lits, nb_lit, lls, mls, offs, nb_seq, out_len,
+                       max_syms: int, n: int):
+    """One-dispatch frame decode: batched Huffman literal decode for every
+    stream of every block, device-side literal-pool assembly, and the
+    frame-global sequence executor — fused so the only d2h is the output
+    (or just the ok scalar for device-resident consumers).
+
+    Role parity: the whole of the reference's per-block decode loop
+    (/root/reference/lib/decompress/zstd_decompress.c:2385 decompressFrame ->
+    huf_decompress.c 4X loops -> zstd_decompress_block.c:1001 execSequence)
+    as a single XLA program per frame.
+
+    Returns (out uint8[n], ok bool, final_pos i32[L]). `ok` already folds
+    in the Huffman over-read check (every active lane's backward stream
+    must end exactly at bit 0)."""
+    wins = jax.vmap(huf_window_values)(sb)
+    sym_lut = lut_sym[lane_tab].astype(jnp.int32)
+    len_lut = lut_len[lane_tab].astype(jnp.int32)
+    syms, final = huf_decode_streams(wins, start_bits, n_syms,
+                                     sym_lut, len_lut, max_syms)
+    pool = assemble_pool(syms, seg_start, seg_lane, seg_src, seg_is_dev,
+                         host_lits, n)
+    out, ok = exec_sequences(pool, nb_lit, lls, mls, offs, nb_seq,
+                             out_len, n, jnp.zeros(1, jnp.uint8),
+                             jnp.int32(0))
+    lane_active = jnp.arange(sb.shape[0], dtype=jnp.int32) < n_lanes
+    hufok = jnp.all(jnp.where(lane_active, final == 0, True))
+    return out, ok & hufok, final
+
+
 def exec_sequences(lits: jax.Array, nb_lit, ll: jax.Array, ml: jax.Array,
                    off: jax.Array, nb_seq, out_len, n: int,
                    history: jax.Array, hist_len):
