@@ -2,10 +2,26 @@
  *
  * Same *role* as the reference's zstd_opt.c (price-model DP over block
  * positions; /root/reference/lib/compress/zstd_opt.c
- * ZSTD_compressBlock_opt_generic, ZSTD_getMatchPrice:324) but an original
- * design: hash-chain candidate enumeration (deep walk, increasing-length
- * match set) + full-block forward DP with per-cell repcode state, seeded by
- * an internal greedy statistics pass (the btultra2 two-pass idea).
+ * ZSTD_compressBlock_opt_generic, ZSTD_getMatchPrice:324,
+ * ZSTD_insertBtAndGetAllMatches:590) but written fresh to this repo's
+ * conventions. Round-4 redesign, replacing the previous iterated
+ * whole-block DP:
+ *
+ *  - ONE adaptive pass per block: the DP runs over a bounded horizon
+ *    ("chunk") that extends as matches reach further; when the horizon
+ *    stalls, the chunk is committed, the code histograms absorb the
+ *    emitted sequences, and prices refresh — statistics adapt WITHIN the
+ *    block instead of via whole-block re-parses.
+ *  - A rolling-buffer suffix binary tree (bt[2*(pos & btMask)]) is the
+ *    matchfinder for the bt strategies: one walk per position both
+ *    inserts and collects an increasing-length candidate set.
+ *    Anti-quadratic behaviors mirror the reference (zstd_opt.c:716,:816,
+ *    :555): positions covered by a found match are skipped for insertion
+ *    (nextToUpdate = matchEndIdx - 8), long best-matches skip insertion
+ *    forward, and ordering comparisons cap at the block end with a
+ *    drop-on-equality rule so the persistent tree stays consistent.
+ *  - sufficient_len (targetLength) early-accept: a long-enough match
+ *    commits immediately instead of pricing every cut of it.
  *
  * Price accounting: cell price accumulates literal prices plus incremental
  * literal-length-code deltas (llp(run+1)-llp(run)); a match step adds
@@ -25,10 +41,28 @@
 
 #define MINMATCH 3
 #define PINF ((int64_t)1 << 60)
-#define SCALE 256            /* price unit: 1/256 bit */
-#define MAX_CAND 64          /* max distinct-length candidates per position */
-#define RELAX_CAP 128         /* relax all lengths up to this; plus the max */
-#define SEQ_BIAS 16          /* tiny per-sequence bias (1/16 bit) */
+#define SCALE 256            /* price unit: 1/256 bit (BITCOST role) */
+#define OPT_CELLS 4096       /* DP horizon per chunk (ZSTD_OPT_NUM role) */
+#define MAX_BT_CAND 64       /* increasing-length candidates per position */
+#define MAX_CAND (MAX_BT_CAND + 4)   /* + 3 reps + hash3 probe */
+#define HASH3_LOG 16
+#define LITFREQ_ADD 2        /* literal stats weight (ZSTD_LITFREQ_ADD) */
+
+/* tuning knobs (env-read once; defaults = shipped behavior) */
+static int g_nodes_mult = -1, g_bias = -1, g_suff = -1;
+static int g_twopass = -1, g_noskip = 0, g_skipmin = -1, g_skipcap = -1;
+static void read_knobs(void) {
+    if (g_nodes_mult >= 0) return;
+    const char* s;
+    g_nodes_mult = (s = getenv("ZT_OPT_NODES_MULT")) ? atoi(s) : 1;
+    g_bias = (s = getenv("ZT_OPT_BIAS")) ? atoi(s) : SCALE / 5;
+    g_suff = (s = getenv("ZT_OPT_SUFF")) ? atoi(s) : 0;
+    g_twopass = (s = getenv("ZT_OPT_TWOPASS")) ? atoi(s) : 1;
+    g_noskip = (s = getenv("ZT_OPT_NOSKIP")) ? atoi(s) : 0;
+    g_skipmin = (s = getenv("ZT_OPT_SKIPMIN")) ? atoi(s) : 1;
+    g_skipcap = (s = getenv("ZT_OPT_SKIPCAP")) ? atoi(s) : 0;
+    if (g_nodes_mult < 1) g_nodes_mult = 1;
+}
 
 /* ---- format code tables (RFC 8878 sequence codes) ---- */
 
@@ -71,49 +105,101 @@ static inline uint32_t ll_code_exact(uint32_t ll) {
     return lo;
 }
 
-/* ---- price model ---- */
+/* ---- price model ----
+ *
+ * Reference-parity price dynamics (zstd_opt.c:40-385): a symbol's price is
+ * WEIGHT(sum) - WEIGHT(freq[sym]) ~ log2(sum/freq) in 1/256-bit units,
+ * where WEIGHT is the linear-interpolated log2 (ZSTD_fracWeight) for the
+ * ultra strategies and whole bits (ZSTD_bitWeight) for btopt. Statistics
+ * update per EMITTED sequence (ZSTD_updateStats: literals weigh double)
+ * and prices refresh after each emission series (ZSTD_setBasePrices) —
+ * so between refreshes prices are static, and across a block codes get
+ * CHEAPER as they are used: the positive feedback that teaches the parse
+ * the block's own sequence grammar. Cached price arrays below are exact:
+ * frequencies only change at emission time, never mid-series. */
 
 typedef struct {
     uint32_t lit[256], llc[36], mlc[53], ofc[32];
     uint32_t lit_tot, ll_tot, ml_tot, of_tot;
     int64_t lit_price[256], ll_price[36], ml_price[53], of_price[32];
+    int opt_level;           /* 0 = btopt pricing, 2 = btultra pricing */
 } Prices;
 
-static int64_t log2_frac(uint32_t num, uint32_t den) {
-    return (int64_t)(log2((double)num / (double)den) * SCALE + 0.5);
+/* fractional-bit weight of a frequency (ZSTD_fracWeight) */
+static inline uint32_t fw(uint32_t stat) {
+    uint32_t s = stat + 1;
+    uint32_t hb = highbit(s);
+    return hb * SCALE + ((s << 8) >> hb);
 }
 
-static void prices_rebuild_ex(Prices* P, int64_t PRIOR) {
-    /* Optimistic floor on sequence-code prices: a code absent from the
-     * seeding parse would otherwise cost log2(total/1) ~ 10+ bits, which
-     * prices it out of the NEXT parse too — a self-reinforcing equilibrium
-     * that permanently rejects e.g. 3-byte rep matches on stride data.
-     * The reference dodges this by rescaling counts toward a baseline
-     * (ZSTD_rescaleFreqs, /root/reference/lib/compress/zstd_opt.c:141);
-     * here: early iterations cap code prices at an optimistic prior so
-     * unseen-but-plausible codes stay reachable; the final iteration
-     * relaxes the cap so real (learned) frequencies decide. */
-    for (int i = 0; i < 256; i++)
-        P->lit_price[i] = log2_frac(P->lit_tot + 256, P->lit[i] + 1);
-    for (int i = 0; i < 36; i++) {
-        int64_t p = log2_frac(P->ll_tot + 36, P->llc[i] + 1);
-        if (p > PRIOR) p = PRIOR;
-        P->ll_price[i] = p + (int64_t)SCALE * LL_BITS[i];
-    }
-    for (int i = 0; i < 53; i++) {
-        int64_t p = log2_frac(P->ml_tot + 53, P->mlc[i] + 1);
-        if (p > PRIOR) p = PRIOR;
-        P->ml_price[i] = p + (int64_t)SCALE * ML_BITS[i];
-    }
-    for (int i = 0; i < 32; i++) {
-        int64_t p = log2_frac(P->of_tot + 32, P->ofc[i] + 1);
-        if (p > PRIOR) p = PRIOR;
-        P->of_price[i] = p + (int64_t)SCALE * i;  /* ofCode == nb extra bits */
-    }
+/* whole-bit weight (ZSTD_bitWeight; btopt favors decode speed over
+ * fractional accuracy) */
+static inline uint32_t bw(uint32_t stat) {
+    return highbit(stat + 1) * SCALE;
 }
 
 static void prices_rebuild(Prices* P) {
-    prices_rebuild_ex(P, (int64_t)(3.5 * SCALE));
+    int frac = (P->opt_level >= 1);
+    uint32_t lit_base = frac ? fw(P->lit_tot) : bw(P->lit_tot);
+    /* every literal costs at least ~1 bit however frequent (litPriceMax
+     * clamp, zstd_opt.c:281-286) */
+    uint32_t lit_pmax = lit_base > SCALE ? lit_base - SCALE : 0;
+    for (int i = 0; i < 256; i++) {
+        uint32_t w = frac ? fw(P->lit[i]) : bw(P->lit[i]);
+        if (w > lit_pmax) w = lit_pmax;
+        P->lit_price[i] = (int64_t)(lit_base - w);
+    }
+    uint32_t ll_base = frac ? fw(P->ll_tot) : bw(P->ll_tot);
+    for (int i = 0; i < 36; i++) {
+        uint32_t w = frac ? fw(P->llc[i]) : bw(P->llc[i]);
+        int64_t p = (int64_t)ll_base - (int64_t)w;
+        P->ll_price[i] = p + (int64_t)SCALE * LL_BITS[i];
+    }
+    uint32_t ml_base = frac ? fw(P->ml_tot) : bw(P->ml_tot);
+    for (int i = 0; i < 53; i++) {
+        uint32_t w = frac ? fw(P->mlc[i]) : bw(P->mlc[i]);
+        int64_t p = (int64_t)ml_base - (int64_t)w;
+        P->ml_price[i] = p + (int64_t)SCALE * ML_BITS[i];
+    }
+    uint32_t of_base = frac ? fw(P->of_tot) : bw(P->of_tot);
+    for (int i = 0; i < 32; i++) {
+        uint32_t w = frac ? fw(P->ofc[i]) : bw(P->ofc[i]);
+        int64_t p = (int64_t)of_base - (int64_t)w;
+        p += (int64_t)SCALE * i;    /* ofCode == nb extra bits */
+        /* btopt handicaps long offsets to favor decode cache locality
+         * (zstd_opt.c:341-342) */
+        if (!frac && i >= 20) p += (int64_t)(i - 19) * 2 * SCALE;
+        P->of_price[i] = p;
+    }
+}
+
+/* halve-ish one histogram down to <= 2^log_target total, reviving zero
+ * entries to 1 (ZSTD_scaleStats/ZSTD_downscaleStats base_1guaranteed:
+ * codes unused last block stay reachable this block) */
+static uint32_t scale_stats(uint32_t* f, int n, int log_target) {
+    uint64_t sum = 0;
+    for (int i = 0; i < n; i++) sum += f[i];
+    uint64_t factor = sum >> log_target;
+    if (factor <= 1) {
+        uint32_t t = 0;
+        for (int i = 0; i < n; i++) t += f[i];
+        return t;
+    }
+    int shift = highbit((uint32_t)factor);
+    uint32_t t = 0;
+    for (int i = 0; i < n; i++) {
+        f[i] = 1 + (f[i] >> shift);
+        t += f[i];
+    }
+    return t;
+}
+
+/* decay toward recent history at block entry (ZSTD_rescaleFreqs role) */
+static void prices_halve(Prices* P) {
+    P->lit_tot = scale_stats(P->lit, 256, 12);
+    P->ll_tot = scale_stats(P->llc, 36, 11);
+    P->ml_tot = scale_stats(P->mlc, 53, 11);
+    P->of_tot = scale_stats(P->ofc, 32, 11);
 }
 
 static inline int64_t llp(const Prices* P, uint32_t ll) {
@@ -136,20 +222,6 @@ static inline int64_t lcp(const uint8_t* a, const uint8_t* b, int64_t limit) {
     return n;
 }
 
-/* ---- hash chains ---- */
-
-#define HASH3_LOG 16
-
-typedef struct {
-    int32_t* head;       /* [1<<hash_log] most recent position or -1 */
-    int32_t* chain;      /* [n_total] prev same-bucket position or -1 */
-    int32_t* head3;      /* [1<<HASH3_LOG] most recent 3-byte match or -1 */
-    int32_t* bt0;        /* [n_total] suffix-smaller child (bt mode) */
-    int32_t* bt1;        /* [n_total] suffix-larger child (bt mode) */
-    int hash_log;
-    int64_t base_pos;    /* chain index = pos - base_pos */
-} Chains;
-
 static inline uint32_t hash4(const uint8_t* p, int hash_log) {
     uint32_t v;
     memcpy(&v, p, 4);
@@ -162,186 +234,21 @@ static inline uint32_t hash3(const uint8_t* p) {
     return (v * 506832829u) >> (32 - HASH3_LOG);
 }
 
-static inline void chains_insert(Chains* C, const uint8_t* base, int64_t pos) {
-    uint32_t h = hash4(base + pos, C->hash_log);
-    C->chain[pos - C->base_pos] = C->head[h];
-    C->head[h] = (int32_t)pos;
-    C->head3[hash3(base + pos)] = (int32_t)pos;
-}
-
 typedef struct { uint32_t len; uint32_t dist; } Match;
-
-/* matches with strictly increasing length, walking recent -> old, so each
-   length is achieved at its smallest available distance */
-static int find_matches(const Chains* C, const uint8_t* base, int64_t pos,
-                        int64_t window_low, int64_t limit_pos, int attempts,
-                        int32_t prev3, Match* out) {
-    int n = 0;
-    uint32_t best = MINMATCH - 1;
-    /* 3-byte probe: closest short match (len >= 3). head3 has no chain, so
-     * the caller must capture it BEFORE inserting the current position
-     * (otherwise the probe only ever sees itself). */
-    {
-        int32_t c3 = prev3;
-        if (c3 >= 0 && c3 >= window_low && (int64_t)c3 < pos) {
-            int64_t l = lcp(base + pos, base + c3, limit_pos - pos);
-            if (l >= 3) {
-                out[n].len = (uint32_t)l;
-                out[n].dist = (uint32_t)(pos - c3);
-                n++;
-                best = (uint32_t)l;
-                if ((uint32_t)l >= (uint32_t)(limit_pos - pos)) return n;
-            }
-        }
-    }
-    if (best < MINMATCH) best = MINMATCH;   /* chains provide len >= 4 */
-    uint32_t h = hash4(base + pos, C->hash_log);
-    int32_t cand = C->head[h];
-    int64_t limit = limit_pos - pos;
-    while (cand >= 0 && cand >= window_low && attempts-- > 0) {
-        if ((int64_t)cand < pos) {
-            int64_t l = lcp(base + pos, base + cand, limit);
-            if ((uint32_t)l > best) {
-                out[n].len = (uint32_t)l;
-                out[n].dist = (uint32_t)(pos - cand);
-                n++;
-                best = (uint32_t)l;
-                if (n >= MAX_CAND || l >= limit) break;
-            }
-        }
-        cand = C->chain[cand - C->base_pos];
-    }
-    return n;
-}
-
-/* ---- suffix-ordered binary-tree matchfinder (btultra2 levels) ----
- *
- * Role of the reference's deep search (zstd_opt.c:590
- * ZSTD_insertBtAndGetAllMatches): every window position hangs in a binary
- * tree ordered by suffix, rooted at its hash-4 bucket. One walk both
- * inserts `pos` and visits candidates whose common prefix can only shrink
- * along the path, so distant LONG matches are reached within a bounded
- * node budget — the chain walk above is recency-ordered and exhausts its
- * budget on near, short candidates (the measured +0.6% at 8 MB, level 19).
- * Implementation is the classic suffix-BST formulation, written to this
- * file's conventions. */
-
-#define BT_TMP 96
-
-/* limit_pos caps RECORDED match lengths (block end); data_end bounds the
- * ORDERING comparisons. Ordering must be consistent across every insert
- * that ever touches the tree — truncating comparisons at a per-call block
- * end breaks the common-prefix-skip invariant once the tree persists
- * across blocks (observed as overstated matches -> corrupt output). */
-static int bt_search_insert(Chains* C, const uint8_t* base, int64_t pos,
-                            int64_t window_low, int64_t limit_pos,
-                            int64_t data_end,
-                            int nodes, Match* out, int32_t prev3) {
-    uint32_t h = hash4(base + pos, C->hash_log);
-    int32_t cur = C->head[h];
-    C->head[h] = (int32_t)pos;
-    int32_t* p_sm = &C->bt0[pos - C->base_pos];
-    int32_t* p_lg = &C->bt1[pos - C->base_pos];
-    uint32_t len_sm = 0, len_lg = 0;
-    int64_t limit = limit_pos - pos;       /* recorded-length cap */
-    int64_t cmp_limit = data_end - pos;    /* ordering comparisons */
-    Match tmp[BT_TMP];
-    int nt = 0;
-    uint32_t best = MINMATCH - 1;
-    /* closest 3-byte-hash candidate seeds the list (the tree carries only
-       hash-4 buckets, so the very nearest short match can be absent) */
-    if (out && prev3 >= 0 && prev3 >= window_low && (int64_t)prev3 < pos) {
-        int64_t l3 = lcp(base + pos, base + prev3, limit);
-        if (l3 >= MINMATCH) {
-            tmp[nt].len = (uint32_t)l3;
-            tmp[nt].dist = (uint32_t)(pos - prev3);
-            nt++;
-            best = (uint32_t)l3;
-        }
-    }
-    while (cur >= 0 && cur >= window_low && (int64_t)cur < pos &&
-           nodes-- > 0) {
-        int64_t ci = cur - C->base_pos;
-        uint32_t l0 = len_sm < len_lg ? len_sm : len_lg;
-        int64_t l = l0 + lcp(base + pos + l0, base + cur + l0,
-                             cmp_limit - l0);
-        int64_t lrec = l < limit ? l : limit;
-        if (out && lrec >= MINMATCH) {
-            if (nt < BT_TMP - 1) {
-                tmp[nt].len = (uint32_t)lrec;
-                tmp[nt].dist = (uint32_t)(pos - cur);
-                nt++;
-            } else if ((uint32_t)lrec > best) {
-                tmp[nt].len = (uint32_t)lrec;
-                tmp[nt].dist = (uint32_t)(pos - cur);
-            }
-            if ((uint32_t)lrec > best) best = (uint32_t)lrec;
-        }
-        if (l >= cmp_limit) {
-            /* full-suffix match: adopt cur's subtrees and stop */
-            *p_sm = C->bt0[ci];
-            *p_lg = C->bt1[ci];
-            p_sm = p_lg = NULL;
-            break;
-        }
-        if (base[cur + l] < base[pos + l]) {
-            int32_t nxt = C->bt1[ci];
-            *p_sm = cur;
-            p_sm = &C->bt1[ci];
-            len_sm = (uint32_t)l;
-            cur = nxt;
-        } else {
-            int32_t nxt = C->bt0[ci];
-            *p_lg = cur;
-            p_lg = &C->bt0[ci];
-            len_lg = (uint32_t)l;
-            cur = nxt;
-        }
-    }
-    if (p_sm) *p_sm = -1;
-    if (p_lg) *p_lg = -1;
-    if (!out || nt == 0) return 0;
-
-    /* candidates arrive in tree order; the DP consumes an ascending
-       (length, min-distance-over-longer) staircase */
-    for (int a = 1; a < nt; a++) {           /* insertion sort by len */
-        Match key = tmp[a];
-        int b = a - 1;
-        while (b >= 0 && (tmp[b].len > key.len ||
-                          (tmp[b].len == key.len &&
-                           tmp[b].dist > key.dist))) {
-            tmp[b + 1] = tmp[b];
-            b--;
-        }
-        tmp[b + 1] = key;
-    }
-    uint32_t run_min[BT_TMP];
-    uint32_t mind = 0xFFFFFFFFu;
-    for (int a = nt - 1; a >= 0; a--) {
-        if (tmp[a].dist < mind) mind = tmp[a].dist;
-        run_min[a] = mind;
-    }
-    int n = 0;
-    uint32_t last_len = 0;
-    for (int a = 0; a < nt && n < MAX_CAND; a++) {
-        if (tmp[a].len <= last_len) continue;
-        out[n].len = tmp[a].len;
-        out[n].dist = run_min[a];
-        last_len = tmp[a].len;
-        n++;
-    }
-    return n;
-}
 
 /* ---- DP cells ---- */
 
+/* A cell is a STRETCH (the reference's ZSTD_optimal_t semantics,
+ * zstd_opt.c:1135-1143): a match (ml/ob) followed by `litrun` literals.
+ * Storing stretches (not sequences) lets a literal run remember which
+ * match preceded it — required by the match+1-literal rescue and the
+ * lazy repcode resolution below. ml == 0 only at the chunk head. */
 typedef struct {
     int64_t price;
-    uint32_t ml;       /* 0 = literal step arrived here */
-    uint32_t ob;       /* offBase of arriving match */
-    uint32_t ll;       /* literal run consumed by arriving match */
+    uint32_t ml;       /* stretch's match length (0 = chunk head) */
+    uint32_t ob;       /* offBase of the stretch's match */
+    uint32_t litrun;   /* pending literal run after the match */
     uint32_t rep[3];
-    uint32_t litrun;   /* pending literal run at this cell */
 } Cell;
 
 static inline uint32_t off_base(uint32_t d, uint32_t ll, const uint32_t* rep) {
@@ -370,104 +277,33 @@ static inline void rep_update(const uint32_t* rep, uint32_t ob, uint32_t ll,
     else { out[0] = rep[0] - 1; out[1] = rep[0]; out[2] = rep[1]; }
 }
 
-static inline void relax(Cell* cells, int64_t i, uint32_t l, int64_t np,
-                         uint32_t ob, uint32_t ll, const uint32_t* rep_src) {
-    Cell* t = &cells[i + l];
-    if (np < t->price) {
-        t->price = np; t->ml = l; t->ob = ob; t->ll = ll; t->litrun = 0;
-        rep_update(rep_src, ob, ll, t->rep);
-    }
-}
+/* ---- persistent match-finder + statistics context ----
+ * Matcher state (hash heads, rolling suffix-BT / rolling chain) and the
+ * running code histograms persist across the blocks of one frame (role of
+ * the reference's ZSTD_matchState_t + optState_t living in the CCtx). */
+#define ST_MAX (OPT_CELLS / MINMATCH + 8)
 
-/* greedy statistics pass: longest-match commit, collects code histograms */
-static void stats_pass(const uint8_t* base, int64_t bs, int64_t be,
-                       int64_t window_low, int64_t data_end,
-                       const uint32_t* reps0,
-                       Chains* C, int attempts, Prices* P, int use_bt) {
-    uint32_t rep[3] = {reps0[0], reps0[1], reps0[2]};
-    int64_t ip = bs, anchor = bs;
-    Match m[MAX_CAND];
-    while (ip + 8 < be) {
-        int32_t prev3 = C->head3[hash3(base + ip)];
-        int nm_bt = 0;
-        if (use_bt) {
-            C->head3[hash3(base + ip)] = (int32_t)ip;
-            nm_bt = bt_search_insert(C, base, ip, window_low, be, data_end,
-                                     attempts, m, prev3);
-        } else {
-            chains_insert(C, base, ip);
-        }
-        uint32_t bl = 0, bd = 0;
-        for (int r = 0; r < 3; r++) {
-            uint32_t d = rep[r];
-            if (d == 0 || ip - (int64_t)d < window_low) continue;
-            if (memcmp(base + ip, base + ip - d, 4) == 0) {
-                int64_t l = 4 + lcp(base + ip + 4, base + ip - d + 4,
-                                    be - ip - 4);
-                if ((uint32_t)l > bl) { bl = (uint32_t)l; bd = d; }
-            }
-        }
-        int nm = use_bt ? nm_bt
-                        : find_matches(C, base, ip, window_low, be,
-                                       attempts, prev3, m);
-        (void)prev3;
-        if (nm > 0 && m[nm - 1].len > bl + 1) {
-            bl = m[nm - 1].len;
-            bd = m[nm - 1].dist;
-        }
-        if (bl >= 4) {
-            uint32_t ll = (uint32_t)(ip - anchor);
-            uint32_t ob = off_base(bd, ll, rep);
-            for (int64_t q = anchor; q < ip; q++) { P->lit[base[q]]++; }
-            P->lit_tot += ll;
-            P->llc[ll_code_exact(ll)]++; P->ll_tot++;
-            P->mlc[ml_code_exact(bl - MINMATCH)]++; P->ml_tot++;
-            P->ofc[highbit(ob)]++; P->of_tot++;
-            uint32_t nr[3]; rep_update(rep, ob, ll, nr);
-            rep[0] = nr[0]; rep[1] = nr[1]; rep[2] = nr[2];
-            int64_t end = ip + bl;
-            for (int64_t q = ip + 1; q < end && q + 4 <= be; q += 2) {
-                if (use_bt) {
-                    C->head3[hash3(base + q)] = (int32_t)q;
-                    bt_search_insert(C, base, q, window_low, be, data_end,
-                                     48, NULL, -1);
-                } else {
-                    chains_insert(C, base, q);
-                }
-            }
-            ip = end; anchor = end;
-        } else {
-            ip++;
-        }
-    }
-    for (int64_t q = anchor; q < be; q++) { P->lit[base[q]]++; P->lit_tot++; }
-}
-
-/* ---- persistent match-finder context ----
- * The matcher state (hash heads, chains / suffix-BST) persists across the
- * blocks of one frame (role of the reference's ZSTD_matchState_t living in
- * the CCtx): without it every block call re-inserted the whole window —
- * O(window) per block, quadratic per frame, and ruinous for the BT walk. */
 typedef struct {
-    Chains C;
-    int64_t cap_total;      /* allocated chain/bt length */
-    int64_t ins_until;      /* first position not yet inserted */
+    int32_t* head;       /* [1<<hash_log] latest position per bucket, -1 */
+    int32_t* head3;      /* [1<<HASH3_LOG] latest 3-byte-hash position */
+    int32_t* bt;         /* [2<<bt_log] rolling child pairs (bt mode) */
+    int32_t* chain;      /* [1<<chain_log] rolling chain (chain mode) */
+    Cell* cells;
+    int32_t st_ll[ST_MAX], st_ob[ST_MAX], st_ml[ST_MAX];  /* emit stack */
+    int hash_log, bt_log, chain_log, use_bt;
     int inited;
-    int use_bt;
-    int hash_log;
-    int32_t* head_snap;
-    int32_t* head3_snap;
-    int32_t* bt0_snap;
-    int32_t* bt1_snap;
+    int64_t ins_until;   /* first position not yet inserted (nextToUpdate) */
+    int64_t ntu3;        /* hash3 fill cursor (nextToUpdate3) */
+    int64_t last_end;    /* previous block_end (detects frame restart) */
+    Prices P;
+    int has_stats;
 } OptCtx;
 
 void* zt_opt_ctx_new(void) { return calloc(1, sizeof(OptCtx)); }
 
 static void opt_ctx_release(OptCtx* x) {
-    free(x->C.head); free(x->C.chain); free(x->C.head3);
-    free(x->C.bt0); free(x->C.bt1);
-    free(x->head_snap); free(x->head3_snap);
-    free(x->bt0_snap); free(x->bt1_snap);
+    free(x->head); free(x->head3); free(x->bt); free(x->chain);
+    free(x->cells);
     memset(x, 0, sizeof(*x));
 }
 
@@ -477,80 +313,679 @@ void zt_opt_ctx_free(void* v) {
     free(v);
 }
 
-/* make the context valid with all positions [window_low, block_start)
- * inserted (tail-gated at p+4 <= block_start); returns 0 ok / -1 oom */
+/* ---- rolling-buffer suffix binary tree ----
+ *
+ * Role of zstd_opt.c:590 ZSTD_insertBtAndGetAllMatches / :442
+ * ZSTD_insertBt1: each position hangs in a tree ordered by suffix, rooted
+ * at its hash-4 bucket; one walk inserts `pos`, re-hooks the path, and
+ * (when `out` is non-NULL) collects candidates with strictly increasing
+ * length — the walk runs newest-to-oldest, so each recorded length is at
+ * its minimum available distance. Child pairs live in a rolling buffer
+ * indexed by (pos & btMask): entries older than pos-btMask are recycled,
+ * so the walk links such a candidate but never descends into it.
+ * Ordering comparisons cap at `iend`; on full equality the candidate is
+ * dropped (subtree pruned) — order would be unknowable, and guessing
+ * corrupts the persistent tree. Returns the number of matches; advances
+ * X->ins_until past repetitive regions (matchEndIdx - 8 rule + the
+ * long-best forward skip). */
+static int bt_search(OptCtx* X, const uint8_t* base, int64_t pos,
+                     int64_t window_low, int64_t iend, int64_t cmp_end,
+                     int nodes, Match* out) {
+    uint32_t btmask = (1u << X->bt_log) - 1;
+    uint32_t h = hash4(base + pos, X->hash_log);
+    int32_t cur = X->head[h];
+    X->head[h] = (int32_t)pos;
+    int32_t* p_sm = &X->bt[2 * ((uint32_t)pos & btmask)];
+    int32_t* p_lg = p_sm + 1;
+    uint32_t len_sm = 0, len_lg = 0;
+    int64_t limit = iend - pos;        /* recorded-length cap (block end) */
+    int64_t cmp_limit = cmp_end - pos; /* ordering-comparison horizon */
+    int64_t bt_low = pos - btmask;
+    int n = 0;
+    uint32_t best = MINMATCH - 1;
+    uint32_t lmax = 8;           /* for the long-best insert skip */
+    int64_t mend = pos + 9;      /* matchEndIdx analog */
+    while (cur >= 0 && (int64_t)cur < pos && nodes-- > 0) {
+        if ((int64_t)cur < window_low) break;
+        int64_t ci2 = 2 * (int64_t)((uint32_t)cur & btmask);
+        uint32_t l0 = len_sm < len_lg ? len_sm : len_lg;
+        int64_t l = l0 + lcp(base + pos + l0, base + cur + l0,
+                             cmp_limit - l0);
+        int64_t lrec = l < limit ? l : limit;
+        if (lrec > (int64_t)lmax) lmax = (uint32_t)lrec;
+        if (cur + lrec > mend) mend = cur + lrec;
+        if (out && lrec >= MINMATCH && (uint32_t)lrec > best) {
+            best = (uint32_t)lrec;
+            if (n < MAX_BT_CAND) {
+                out[n].len = (uint32_t)lrec;
+                out[n].dist = (uint32_t)(pos - cur);
+                n++;
+            } else {             /* keep the longest when saturated */
+                out[n - 1].len = (uint32_t)lrec;
+                out[n - 1].dist = (uint32_t)(pos - cur);
+            }
+        }
+        if (l >= cmp_limit) break;  /* order unknowable: drop candidate */
+        if (base[cur + l] < base[pos + l]) {
+            int32_t nxt = X->bt[ci2 + 1];
+            *p_sm = cur;
+            if ((int64_t)cur <= bt_low) { p_sm = NULL; break; }
+            p_sm = &X->bt[ci2 + 1];
+            len_sm = (uint32_t)l;
+            cur = nxt;
+        } else {
+            int32_t nxt = X->bt[ci2];
+            *p_lg = cur;
+            if ((int64_t)cur <= bt_low) { p_lg = NULL; break; }
+            p_lg = &X->bt[ci2];
+            len_lg = (uint32_t)l;
+            cur = nxt;
+        }
+    }
+    if (p_sm) *p_sm = -1;
+    if (p_lg) *p_lg = -1;
+    {
+        int64_t fwd = mend - 8 - pos;
+        if (!out && lmax > 384) {     /* insert-only long-best skip */
+            int64_t e = lmax - 384;
+            if (e > 192) e = 192;
+            if (e > fwd) fwd = e;
+        }
+        /* short-match interiors are worth indexing (they carry distinct
+         * candidates); long-match interiors are the repetitive regions
+         * where per-insert suffix compares turn quadratic — skip those,
+         * but cap each jump so long runs still get sparse inserts */
+        if (fwd <= g_skipmin || g_noskip) fwd = 1;
+        else if (g_skipcap > 0 && fwd > g_skipcap) fwd = g_skipcap;
+        if (pos + fwd > X->ins_until) X->ins_until = pos + fwd;
+    }
+    return n;
+}
+
+/* read-only tree walk: collect increasing-length candidates for `pos`
+ * WITHOUT inserting it or re-hooking the path. Used inside insertion-
+ * skipped regions (self-overlapping runs): the full insert walk there is
+ * what turns quadratic, but the candidates the existing tree already
+ * holds are free to read. */
+static int bt_peek(OptCtx* X, const uint8_t* base, int64_t pos,
+                   int64_t window_low, int64_t iend, int64_t cmp_end,
+                   int nodes, Match* out) {
+    uint32_t btmask = (1u << X->bt_log) - 1;
+    uint32_t h = hash4(base + pos, X->hash_log);
+    int32_t cur = X->head[h];
+    uint32_t len_sm = 0, len_lg = 0;
+    int64_t limit = iend - pos;
+    int64_t cmp_limit = cmp_end - pos;
+    int64_t bt_low = pos - btmask;
+    int n = 0;
+    uint32_t best = MINMATCH - 1;
+    while (cur >= 0 && (int64_t)cur < pos && nodes-- > 0) {
+        if ((int64_t)cur < window_low) break;
+        int64_t ci2 = 2 * (int64_t)((uint32_t)cur & btmask);
+        uint32_t l0 = len_sm < len_lg ? len_sm : len_lg;
+        int64_t l = l0 + lcp(base + pos + l0, base + cur + l0,
+                             cmp_limit - l0);
+        int64_t lrec = l < limit ? l : limit;
+        if (lrec >= MINMATCH && (uint32_t)lrec > best) {
+            best = (uint32_t)lrec;
+            if (n < MAX_BT_CAND) {
+                out[n].len = (uint32_t)lrec;
+                out[n].dist = (uint32_t)(pos - cur);
+                n++;
+            } else {
+                out[n - 1].len = (uint32_t)lrec;
+                out[n - 1].dist = (uint32_t)(pos - cur);
+            }
+        }
+        if (l >= cmp_limit) break;
+        if ((int64_t)cur <= bt_low) break;
+        if (base[cur + l] < base[pos + l]) {
+            len_sm = (uint32_t)l;
+            cur = X->bt[ci2 + 1];
+        } else {
+            len_lg = (uint32_t)l;
+            cur = X->bt[ci2];
+        }
+    }
+    return n;
+}
+
+/* ---- rolling hash chain (non-bt strategies via the DP override) ---- */
+
+static inline void chain_insert(OptCtx* X, const uint8_t* base, int64_t pos) {
+    uint32_t cmask = (1u << X->chain_log) - 1;
+    uint32_t h = hash4(base + pos, X->hash_log);
+    X->chain[(uint32_t)pos & cmask] = X->head[h];
+    X->head[h] = (int32_t)pos;
+}
+
+static int chain_search(OptCtx* X, const uint8_t* base, int64_t pos,
+                        int64_t window_low, int64_t iend, int attempts,
+                        Match* out) {
+    uint32_t cmask = (1u << X->chain_log) - 1;
+    int64_t reach_low = pos - cmask;
+    if (window_low > reach_low) reach_low = window_low;
+    uint32_t h = hash4(base + pos, X->hash_log);
+    int32_t cand = X->head[h];
+    int64_t limit = iend - pos;
+    int n = 0;
+    uint32_t best = MINMATCH;    /* chains provide len >= 4 */
+    while (cand >= 0 && cand >= reach_low && (int64_t)cand < pos &&
+           attempts-- > 0) {
+        int64_t l = lcp(base + pos, base + cand, limit);
+        if ((uint32_t)l > best) {
+            best = (uint32_t)l;
+            if (n < MAX_BT_CAND) {
+                out[n].len = (uint32_t)l;
+                out[n].dist = (uint32_t)(pos - cand);
+                n++;
+            }
+            if (l >= limit) break;
+        }
+        int32_t nxt = X->chain[(uint32_t)cand & cmask];
+        if (nxt >= cand) break;  /* recycled slot: older history is gone */
+        cand = nxt;
+    }
+    chain_insert(X, base, pos);
+    if (pos + 1 > X->ins_until) X->ins_until = pos + 1;
+    return n;
+}
+
+/* ---- context preparation ---- */
+
 static int opt_ctx_ensure(OptCtx* x, const uint8_t* base, int64_t window_low,
                           int64_t block_start, int64_t block_end,
-                          int64_t data_end, int hash_log, int use_bt) {
-    size_t head_bytes = sizeof(int32_t) << hash_log;
-    size_t head3_bytes = sizeof(int32_t) << HASH3_LOG;
+                          int64_t cmp_end,
+                          int hash_log, int chain_log, int use_bt,
+                          int nodes) {
+    size_t head_n = (size_t)1 << hash_log;
+    size_t head3_n = (size_t)1 << HASH3_LOG;
+    int bt_log = chain_log - 1;
+    if (bt_log < 10) bt_log = 10;
     int fresh = !x->inited || x->use_bt != use_bt ||
-                x->hash_log != hash_log || block_start < x->ins_until ||
-                window_low < x->C.base_pos;
-    /* bound array growth on huge inputs: restart from the live window */
-    if (!fresh && block_end - x->C.base_pos > (int64_t)1 << 26 &&
-        window_low > x->C.base_pos + ((int64_t)1 << 25))
-        fresh = 1;
+                x->hash_log != hash_log ||
+                (use_bt ? x->bt_log != bt_log : x->chain_log != chain_log) ||
+                block_start < x->last_end;
     if (fresh) {
         opt_ctx_release(x);
         x->hash_log = hash_log;
+        x->bt_log = bt_log;
+        x->chain_log = chain_log;
         x->use_bt = use_bt;
-        x->C.hash_log = hash_log;
-        x->C.base_pos = window_low;
-        x->cap_total = (block_end - window_low) + (block_end - window_low) / 2
-                       + 4096;
-        x->C.head = malloc(head_bytes);
-        x->C.head3 = malloc(head3_bytes);
-        x->head_snap = malloc(head_bytes);
-        x->head3_snap = malloc(head3_bytes);
-        if (use_bt) {
-            x->C.bt0 = malloc(sizeof(int32_t) * (size_t)x->cap_total);
-            x->C.bt1 = malloc(sizeof(int32_t) * (size_t)x->cap_total);
-            x->bt0_snap = malloc(sizeof(int32_t) * (size_t)x->cap_total);
-            x->bt1_snap = malloc(sizeof(int32_t) * (size_t)x->cap_total);
-            if (!x->C.bt0 || !x->C.bt1 || !x->bt0_snap || !x->bt1_snap)
-                return -1;
-        } else {
-            x->C.chain = malloc(sizeof(int32_t) * (size_t)x->cap_total);
-            if (!x->C.chain) return -1;
-        }
-        if (!x->C.head || !x->C.head3 || !x->head_snap || !x->head3_snap)
+        x->head = malloc(head_n * sizeof(int32_t));
+        x->head3 = malloc(head3_n * sizeof(int32_t));
+        x->cells = malloc(sizeof(Cell) * (OPT_CELLS + 2));
+        if (use_bt)
+            x->bt = malloc(((size_t)2 << bt_log) * sizeof(int32_t));
+        else
+            x->chain = malloc(((size_t)1 << chain_log) * sizeof(int32_t));
+        if (!x->head || !x->head3 || !x->cells ||
+            (use_bt ? !x->bt : !x->chain))
             return -1;
-        memset(x->C.head, -1, head_bytes);
-        memset(x->C.head3, -1, head3_bytes);
+        memset(x->head, -1, head_n * sizeof(int32_t));
+        memset(x->head3, -1, head3_n * sizeof(int32_t));
+        if (use_bt)
+            memset(x->bt, -1, ((size_t)2 << bt_log) * sizeof(int32_t));
+        else
+            memset(x->chain, -1, ((size_t)1 << chain_log) * sizeof(int32_t));
         x->ins_until = window_low;
+        x->ntu3 = window_low;
+        memset(&x->P, 0, sizeof(x->P));
+        x->has_stats = 0;
         x->inited = 1;
-    } else if (block_end - x->C.base_pos > x->cap_total) {
-        int64_t ncap = (block_end - x->C.base_pos)
-                       + (block_end - x->C.base_pos) / 2 + 4096;
-        if (use_bt) {
-            int32_t* a = realloc(x->C.bt0, sizeof(int32_t) * (size_t)ncap);
-            int32_t* b = realloc(x->C.bt1, sizeof(int32_t) * (size_t)ncap);
-            int32_t* c = realloc(x->bt0_snap, sizeof(int32_t) * (size_t)ncap);
-            int32_t* d = realloc(x->bt1_snap, sizeof(int32_t) * (size_t)ncap);
-            if (!a || !b || !c || !d) return -1;
-            x->C.bt0 = a; x->C.bt1 = b; x->bt0_snap = c; x->bt1_snap = d;
-        } else {
-            int32_t* a = realloc(x->C.chain, sizeof(int32_t) * (size_t)ncap);
-            if (!a) return -1;
-            x->C.chain = a;
-        }
-        x->cap_total = ncap;
     }
-    /* catch up: insert everything before the block */
+    x->last_end = block_end;
+    /* catch up: index the window prefix / gap before this block
+     * (ZSTD_updateTree fill role; ordering compares reach the current
+     * block end, as the reference's iend does) */
+    while (x->ntu3 + 3 <= block_start) {
+        x->head3[hash3(base + x->ntu3)] = (int32_t)x->ntu3;
+        x->ntu3++;
+    }
     if (use_bt) {
-        for (int64_t p = x->ins_until; p + 4 <= block_start; p++) {
-            x->C.head3[hash3(base + p)] = (int32_t)p;
-            bt_search_insert(&x->C, base, p, window_low, block_start,
-                             data_end, 64, NULL, -1);
-        }
+        while (x->ins_until + 8 <= block_start)
+            bt_search(x, base, x->ins_until, window_low, block_end,
+                      cmp_end, nodes, NULL);
     } else {
-        for (int64_t p = x->ins_until; p + 4 <= block_start; p++)
-            chains_insert(&x->C, base, p);
+        while (x->ins_until + 8 <= block_start) {
+            chain_insert(x, base, x->ins_until);
+            x->ins_until++;
+        }
     }
-    if (block_start - 3 > x->ins_until) x->ins_until = block_start - 3;
+    if (block_start > x->ins_until) x->ins_until = block_start;
     return 0;
 }
+
+/* frame-start statistics: raw literal histogram of the first block plus
+ * baseline code priors (ZSTD_rescaleFreqs first-block init,
+ * zstd_opt.c:215-250; the LL/OF prior shapes are the reference's tuned
+ * constants, kept for behavioral parity like the level tables) */
+static const uint32_t BASE_LL_FREQ[36] = {
+    4, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1};
+static const uint32_t BASE_OF_FREQ[32] = {
+    6, 2, 1, 1, 2, 3, 4, 4, 4, 3, 2, 1, 1, 1, 1, 1,
+    1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1};
+
+static void seed_baseline(Prices* P, const uint8_t* src, int64_t n) {
+    memset(P->lit, 0, sizeof(P->lit));
+    for (int64_t i = 0; i < n; i++) P->lit[src[i]]++;
+    /* first-block literal downscale: shift 8, zeros stay zero
+     * (ZSTD_downscaleStats base_0possible call, zstd_opt.c:246) */
+    P->lit_tot = 0;
+    for (int i = 0; i < 256; i++) {
+        P->lit[i] = (P->lit[i] > 0) + (P->lit[i] >> 8);
+        P->lit_tot += P->lit[i];
+    }
+    memcpy(P->llc, BASE_LL_FREQ, sizeof(P->llc));
+    P->ll_tot = 0;
+    for (int i = 0; i < 36; i++) P->ll_tot += P->llc[i];
+    for (int i = 0; i < 53; i++) P->mlc[i] = 1;
+    P->ml_tot = 53;
+    memcpy(P->ofc, BASE_OF_FREQ, sizeof(P->ofc));
+    P->of_tot = 0;
+    for (int i = 0; i < 32; i++) P->of_tot += P->ofc[i];
+}
+
+/* greedy seeding pass over the frame head: cheap single-table matcher
+ * collecting code histograms so the first chunks price realistically
+ * (the btultra2 first-pass idea, ZSTD_initStats_ultra role). Uses its own
+ * scratch table — the real matcher state is untouched. */
+static void seed_stats(const uint8_t* base, int64_t bs, int64_t be,
+                       int64_t window_low, const uint32_t* reps0,
+                       Prices* P, int count_lits) {
+    enum { SLOG = 15 };
+    int32_t* tab = malloc(sizeof(int32_t) << SLOG);
+    if (!tab) return;
+    memset(tab, -1, sizeof(int32_t) << SLOG);
+    uint32_t rep[3] = {reps0[0], reps0[1], reps0[2]};
+    int64_t ip = bs, anchor = bs;
+    while (ip + 8 < be) {
+        uint32_t bl = 0, bd = 0;
+        uint32_t d = rep[0];
+        if (d && ip - (int64_t)d >= window_low &&
+            memcmp(base + ip, base + ip - d, 3) == 0) {
+            bl = (uint32_t)(3 + lcp(base + ip + 3, base + ip - d + 3,
+                                    be - ip - 3));
+            bd = d;
+        }
+        int32_t cand = tab[hash4(base + ip, SLOG)];
+        tab[hash4(base + ip, SLOG)] = (int32_t)ip;
+        if (cand >= 0 && cand >= window_low && (int64_t)cand < ip &&
+            memcmp(base + ip, base + cand, 4) == 0) {
+            uint32_t l = (uint32_t)(4 + lcp(base + ip + 4, base + cand + 4,
+                                            be - ip - 4));
+            if (l > bl + 1) { bl = l; bd = (uint32_t)(ip - cand); }
+        }
+        if (bl >= 4) {
+            uint32_t ll = (uint32_t)(ip - anchor);
+            uint32_t ob = off_base(bd, ll, rep);
+            if (count_lits) {
+                for (int64_t q = anchor; q < ip; q++) P->lit[base[q]]++;
+                P->lit_tot += ll;
+            }
+            P->llc[ll_code_exact(ll)]++; P->ll_tot++;
+            P->mlc[ml_code_exact(bl - MINMATCH)]++; P->ml_tot++;
+            P->ofc[highbit(ob)]++; P->of_tot++;
+            uint32_t nr[3]; rep_update(rep, ob, ll, nr);
+            rep[0] = nr[0]; rep[1] = nr[1]; rep[2] = nr[2];
+            ip += bl; anchor = ip;
+        } else {
+            ip++;
+        }
+    }
+    if (count_lits)
+        for (int64_t q = anchor; q < be; q++) { P->lit[base[q]]++; P->lit_tot++; }
+    free(tab);
+}
+
+/* one sequence: histogram feed (ZSTD_updateStats role — literals weigh
+ * LITFREQ_ADD) + output append */
+static inline int emit_seq(OptCtx* X, const uint8_t* base, int64_t lit_pos,
+                           uint32_t ll, uint32_t ob, uint32_t ml,
+                           int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
+                           int64_t* p_nseq, int64_t seq_cap) {
+    if (*p_nseq >= seq_cap) return -1;
+    Prices* P = &X->P;
+    for (uint32_t q = 0; q < ll; q++)
+        P->lit[base[lit_pos + q]] += LITFREQ_ADD;
+    P->lit_tot += ll * LITFREQ_ADD;
+    P->llc[ll_code_exact(ll)]++; P->ll_tot++;
+    P->mlc[ml_code_exact(ml - MINMATCH)]++; P->ml_tot++;
+    P->ofc[highbit(ob)]++; P->of_tot++;
+    ll_out[*p_nseq] = (int32_t)ll;
+    ob_out[*p_nseq] = (int32_t)ob;
+    mb_out[*p_nseq] = (int32_t)(ml - MINMATCH);
+    (*p_nseq)++;
+    return 0;
+}
+
+/* ---- chunk emission ----
+ * Backtracks stretch cells[0..end_idx] (each = match + literal tail),
+ * converts them to sequences (a sequence's LL comes from the stretch
+ * BELOW it — the reference's reverse traversal, zstd_opt.c:1380-1420),
+ * appends them (plus an optional forced match at end_idx) to the output
+ * arrays, and feeds the running histograms. Returns the new absolute
+ * anchor (the top stretch's literal tail stays pending), or -1 when the
+ * output capacity is exceeded. */
+static int64_t emit_path(OptCtx* X, const uint8_t* base, int64_t end_idx,
+                         int64_t ip, int64_t anchor,
+                         uint32_t force_ml, uint32_t force_ob,
+                         int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
+                         int64_t* p_nseq, int64_t seq_cap) {
+    Cell* cells = X->cells;
+    int ns = 0;
+    int64_t i = end_idx;
+    while (cells[i].ml > 0) {          /* walk stretches down to the head */
+        X->st_ml[ns] = (int32_t)cells[i].ml;
+        X->st_ob[ns] = (int32_t)cells[i].ob;
+        X->st_ll[ns] = (int32_t)cells[i].litrun;  /* stretch's literal TAIL */
+        ns++;
+        i -= (int64_t)cells[i].ml + cells[i].litrun;
+    }
+    /* cells[i] is now the head stretch; its litrun covers the pre-chunk
+     * pending literals plus any in-chunk literals before the first match */
+    int64_t pos = anchor;              /* literal cursor (absolute) */
+    for (int k = ns - 1; k >= 0; k--) {
+        uint32_t ll = (k == ns - 1) ? cells[i].litrun
+                                    : (uint32_t)X->st_ll[k + 1];
+        if (emit_seq(X, base, pos, ll, (uint32_t)X->st_ob[k],
+                     (uint32_t)X->st_ml[k], ll_out, ob_out, mb_out,
+                     p_nseq, seq_cap) < 0)
+            return -1;
+        pos += ll + (uint32_t)X->st_ml[k];
+    }
+    if (force_ml > 0) {
+        uint32_t ll = (uint32_t)((ip + end_idx) - pos);
+        if (emit_seq(X, base, pos, ll, force_ob, force_ml,
+                     ll_out, ob_out, mb_out, p_nseq, seq_cap) < 0)
+            return -1;
+        pos = ip + end_idx + force_ml;
+    }
+    return pos;
+}
+
+/* ---- the parser core: one adaptive pass over [block_start, block_end) */
+
+static int64_t opt_core(OptCtx* X,
+                        const uint8_t* base, int64_t window_low,
+                        int64_t block_start, int64_t block_end,
+                        int64_t cmp_end,
+                        uint32_t* reps,
+                        int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
+                        int64_t seq_cap,
+                        int nodes, uint32_t suff, int use_bt) {
+    Prices* P = &X->P;
+    Cell* cells = X->cells;
+    Match m[MAX_BT_CAND];
+    struct { uint32_t len; uint32_t ob; int64_t ofp; } cand[MAX_CAND];
+    int64_t best_ofp[MAX_CAND + 1];
+    uint32_t best_ob[MAX_CAND + 1];
+
+    int64_t ip = block_start, anchor = block_start;
+    int64_t nseq = 0;
+    uint32_t cur_rep[3] = {reps[0], reps[1], reps[2]};
+    int opt_level = P->opt_level;
+
+    /* collect rep + hash3 candidates at `pos` pricing from cell `c`;
+     * bumps nc, updates *p_maxlen / *p_maxob with the longest one */
+    #define GATHER_CANDS(c, pos, limit, nc, p_maxlen, p_maxob) do {       \
+        uint32_t ll0_ = ((c)->litrun == 0);                               \
+        for (int r_ = 0; r_ < 3; r_++) {                                  \
+            uint32_t d_;                                                  \
+            if (!ll0_) d_ = (c)->rep[r_];                                 \
+            else d_ = (r_ == 0) ? (c)->rep[1] : (r_ == 1) ? (c)->rep[2]   \
+                              : ((c)->rep[0] > 1 ? (c)->rep[0] - 1 : 0);  \
+            if (d_ == 0 || (pos) - (int64_t)d_ < window_low) continue;    \
+            if (memcmp(base + (pos), base + (pos) - d_, 3) != 0) continue;\
+            uint32_t L_ = (uint32_t)(3 + lcp(base + (pos) + 3,            \
+                                             base + (pos) - d_ + 3,       \
+                                             (limit) - 3));               \
+            uint32_t ob_ = (uint32_t)r_ + 1;                              \
+            cand[nc].len = L_; cand[nc].ob = ob_;                         \
+            cand[nc].ofp = P->of_price[highbit(ob_)];                     \
+            (nc)++;                                                       \
+            if (L_ > *(p_maxlen)) { *(p_maxlen) = L_; *(p_maxob) = ob_; } \
+        }                                                                 \
+        while (X->ntu3 < (pos)) {                                         \
+            X->head3[hash3(base + X->ntu3)] = (int32_t)X->ntu3;           \
+            X->ntu3++;                                                    \
+        }                                                                 \
+        int32_t c3_ = X->head3[hash3(base + (pos))];                      \
+        X->head3[hash3(base + (pos))] = (int32_t)(pos);                   \
+        X->ntu3 = (pos) + 1;                                              \
+        if (c3_ >= 0 && c3_ >= window_low && (int64_t)c3_ < (pos)) {      \
+            uint32_t L_ = (uint32_t)lcp(base + (pos), base + c3_, limit); \
+            if (L_ >= MINMATCH && L_ > *(p_maxlen)) {                     \
+                uint32_t ob_ = off_base((uint32_t)((pos) - c3_),          \
+                                        (c)->litrun, (c)->rep);           \
+                cand[nc].len = L_; cand[nc].ob = ob_;                     \
+                cand[nc].ofp = P->of_price[highbit(ob_)];                 \
+                (nc)++;                                                   \
+                *(p_maxlen) = L_; *(p_maxob) = ob_;                       \
+            }                                                             \
+        }                                                                 \
+    } while (0)
+
+    while (ip + 12 < block_end) {
+        /* ---- one DP chunk starting at ip ---- */
+        cells[0].price = 0;
+        cells[0].ml = 0;
+        cells[0].ob = 0;
+        cells[0].litrun = (uint32_t)(ip - anchor);
+        cells[0].rep[0] = cur_rep[0];
+        cells[0].rep[1] = cur_rep[1];
+        cells[0].rep[2] = cur_rep[2];
+        int64_t hi_init = 0;
+        int64_t last_pos = 0;
+        int64_t commit_end = -1;
+        uint32_t force_ml = 0, force_ob = 0;
+
+        for (int64_t cur = 0; cur <= last_pos; cur++) {
+            int64_t pos = ip + cur;
+            Cell* c = &cells[cur];
+            while (hi_init < cur + 2) {       /* keep cur+1, cur+2 valid */
+                hi_init++;
+                cells[hi_init].price = PINF;
+                cells[hi_init].ml = 0;
+                cells[hi_init].litrun = 1;    /* != 0: not an end-of-match */
+            }
+            if (cur > 0) {
+                /* arrived by match? resolve the offset history now that
+                 * the cell's winner is final (zstd_opt.c:1248-1256) */
+                if (c->litrun == 0 && c->ml > 0) {
+                    Cell* src = &cells[cur - c->ml];
+                    rep_update(src->rep, c->ob, src->litrun, c->rep);
+                }
+            }
+            /* literal step into cur+1: lit price + LL-code delta; ties
+             * prefer the literal (zstd_opt.c:1205 `<=`) */
+            if (pos < block_end) {
+                uint32_t lr = c->litrun;
+                int64_t lp = P->lit_price[base[pos]];
+                int64_t np = c->price + lp + (llp(P, lr + 1) - llp(P, lr));
+                Cell* t = &cells[cur + 1];
+                if (np <= t->price) {
+                    Cell prevMatch = *t;
+                    *t = *c;
+                    t->litrun = lr + 1;
+                    t->price = np;
+                    /* match + 1 literal rescue (zstd_opt.c:1216-1240):
+                     * the literal path just buried a match arrival at
+                     * cur+1; if ll=1 is cheaper than ll=0, re-seat that
+                     * match at cur+2 followed by one literal — this is
+                     * what generates the tight ll=1 stitch patterns the
+                     * plain DP never finds. */
+                    if (opt_level >= 1 && prevMatch.litrun == 0
+                        && prevMatch.ml > 0
+                        && llp(P, 1) < llp(P, 0)
+                        && pos + 1 < block_end) {
+                        int64_t lp1 = P->lit_price[base[pos + 1]];
+                        int64_t with1 = prevMatch.price + lp1
+                                        + (llp(P, 1) - llp(P, 0));
+                        int64_t more = np + lp1
+                                       + (llp(P, lr + 2) - llp(P, lr + 1));
+                        if (with1 < more && with1 < cells[cur + 2].price) {
+                            int64_t prev = (cur + 1) - prevMatch.ml;
+                            Cell* t2 = &cells[cur + 2];
+                            t2->ml = prevMatch.ml;
+                            t2->ob = prevMatch.ob;
+                            rep_update(cells[prev].rep, prevMatch.ob,
+                                       cells[prev].litrun, t2->rep);
+                            t2->litrun = 1;
+                            t2->price = with1;
+                            if (last_pos < cur + 2) last_pos = cur + 2;
+                        }
+                    }
+                }
+            }
+            if (pos + 8 >= block_end) continue;
+            /* the frontier cell doesn't extend the series — the next
+             * series' head search covers it (zstd_opt.c:1268) */
+            if (cur == last_pos && cur > 0) break;
+            /* skip unpromising positions at btopt level (~+6% speed for
+             * -0.01 ratio, zstd_opt.c:1270-1274) */
+            if (opt_level == 0 && cur > 0
+                && cells[cur + 1].price <= c->price + SCALE / 2)
+                continue;
+
+            int64_t limit = block_end - pos;
+            int nc = 0;
+            uint32_t maxlen = 0, max_ob = 0;
+            GATHER_CANDS(c, pos, limit, nc, &maxlen, &max_ob);
+
+            /* huge rep/near match: commit immediately, skip the BT walk
+             * (zstd_opt.c:716 skip-insertion rule) */
+            if (maxlen > suff || cur + maxlen >= OPT_CELLS - 2) {
+                if (pos + 1 > X->ins_until) X->ins_until = pos + 1;
+                commit_end = cur; force_ml = maxlen; force_ob = max_ob;
+                break;
+            }
+
+            /* tree / chain matches; first close any insertion gap left by
+             * an early-accept jump (ZSTD_updateTree_internal catch-up) */
+            if (use_bt) {
+                while (X->ins_until < pos)
+                    bt_search(X, base, X->ins_until, window_low, block_end,
+                              cmp_end, nodes, NULL);
+            } else {
+                while (X->ins_until < pos) {
+                    chain_insert(X, base, X->ins_until);
+                    X->ins_until++;
+                }
+            }
+            if (pos >= X->ins_until || use_bt) {
+                int nm = !use_bt
+                    ? chain_search(X, base, pos, window_low, block_end,
+                                   nodes, m)
+                    : (pos >= X->ins_until
+                       ? bt_search(X, base, pos, window_low, block_end,
+                                   cmp_end, nodes, m)
+                       /* skipped region: candidates without insertion */
+                       : bt_peek(X, base, pos, window_low, block_end,
+                                 cmp_end, nodes, m));
+                for (int k = 0; k < nm; k++) {
+                    uint32_t ob = off_base(m[k].dist, c->litrun, c->rep);
+                    cand[nc].len = m[k].len; cand[nc].ob = ob;
+                    cand[nc].ofp = P->of_price[highbit(ob)];
+                    nc++;
+                    if (m[k].len > maxlen) { maxlen = m[k].len; max_ob = ob; }
+                }
+                if (maxlen > suff || cur + maxlen >= OPT_CELLS - 2) {
+                    commit_end = cur; force_ml = maxlen; force_ob = max_ob;
+                    break;
+                }
+            }
+            if (nc == 0) continue;
+
+            /* merged staircase: for each length, the cheapest offset code
+             * among candidates reaching it (suffix-min over len-sorted) */
+            for (int a = 1; a < nc; a++) {   /* insertion sort by len */
+                __typeof__(cand[0]) key = cand[a];
+                int b = a - 1;
+                while (b >= 0 && cand[b].len > key.len) {
+                    cand[b + 1] = cand[b];
+                    b--;
+                }
+                cand[b + 1] = key;
+            }
+            best_ofp[nc - 1] = cand[nc - 1].ofp;
+            best_ob[nc - 1] = cand[nc - 1].ob;
+            for (int a = nc - 2; a >= 0; a--) {
+                if (cand[a].ofp <= best_ofp[a + 1]) {
+                    best_ofp[a] = cand[a].ofp;
+                    best_ob[a] = cand[a].ob;
+                } else {
+                    best_ofp[a] = best_ofp[a + 1];
+                    best_ob[a] = best_ob[a + 1];
+                }
+            }
+            while (hi_init < cur + maxlen + 1) {
+                hi_init++;
+                cells[hi_init].price = PINF;
+                cells[hi_init].ml = 0;
+                cells[hi_init].litrun = 1;
+            }
+            int64_t mbase = c->price + P->ll_price[0] + g_bias;
+            int idx = 0;
+            for (uint32_t l = MINMATCH; l <= maxlen; l++) {
+                while (cand[idx].len < l) idx++;
+                int64_t np = mbase + best_ofp[idx]
+                             + P->ml_price[ml_code_exact(l - MINMATCH)];
+                Cell* t = &cells[cur + l];
+                if (np < t->price) {
+                    t->price = np;
+                    t->ml = l;
+                    t->ob = best_ob[idx];
+                    t->litrun = 0;
+                    /* offset history resolved lazily at visit time */
+                }
+            }
+            if (cur + (int64_t)maxlen > last_pos)
+                last_pos = cur + (int64_t)maxlen;
+        }
+
+        /* ---- commit the chunk ---- */
+        int64_t end_idx = (commit_end >= 0) ? commit_end : last_pos;
+        if (commit_end < 0 && last_pos == 0) { ip++; continue; }
+        if (commit_end < 0 && cells[end_idx].litrun == 0
+            && cells[end_idx].ml > 0) {
+            /* frontier cell may not have been visited: resolve its reps */
+            Cell* src = &cells[end_idx - cells[end_idx].ml];
+            rep_update(src->rep, cells[end_idx].ob, src->litrun,
+                       cells[end_idx].rep);
+        }
+        int64_t new_anchor = emit_path(X, base, end_idx, ip, anchor,
+                                       force_ml, force_ob,
+                                       ll_out, ob_out, mb_out,
+                                       &nseq, seq_cap);
+        if (new_anchor < 0) return -1;
+        if (commit_end >= 0) {
+            uint32_t nr[3];
+            rep_update(cells[end_idx].rep, force_ob, cells[end_idx].litrun,
+                       nr);
+            cur_rep[0] = nr[0]; cur_rep[1] = nr[1]; cur_rep[2] = nr[2];
+            ip = ip + end_idx + force_ml;
+        } else {
+            cur_rep[0] = cells[end_idx].rep[0];
+            cur_rep[1] = cells[end_idx].rep[1];
+            cur_rep[2] = cells[end_idx].rep[2];
+            ip = ip + end_idx;
+        }
+        anchor = new_anchor;
+        /* refresh prices with the absorbed statistics
+         * (ZSTD_setBasePrices after each emission series) */
+        prices_rebuild(P);
+    }
+
+    /* trailing literals do NOT feed statistics: only emitted sequences
+     * count (ZSTD_updateStats is never called on the block tail) */
+    reps[0] = cur_rep[0]; reps[1] = cur_rep[1]; reps[2] = cur_rep[2];
+    return nseq;
+    #undef GATHER_CANDS
+}
+
+/* ---- the parser ---- */
 
 int64_t zt_opt_parse_ctx(void* vctx,
                          const uint8_t* base, int64_t window_low,
@@ -562,230 +997,96 @@ int64_t zt_opt_parse_ctx(void* vctx,
                          int hash_log, int search_log, int min_match,
                          int target_len, int strategy) {
     (void)min_match;
+    if (src_end < block_end) src_end = block_end;
     int64_t n = block_end - block_start;
     if (n < 16) return 0;
+    if (strategy <= 5) {
+        /* fast/lazy-class strategies only reach the DP via the
+         * ZSTD_TPU_HOST_PARSER=dp override, whose contract is "the
+         * ratio-maximal route": promote to btultra2-class search params
+         * instead of running the DP with a fast-class table */
+        strategy = 9;
+        if (search_log < 7) search_log = 7;
+        if (hash_log < 17) hash_log = 17;
+        if (target_len < 256) target_len = 256;
+    }
     if (hash_log > 24) hash_log = 24;
     if (hash_log < 12) hash_log = 12;
-    /* deep chain walk: each attempt is one candidate visit; the dense walk
-       substitutes for the reference's binary-tree search quality. btultra2
-       rows (targetLength >= 256, levels 19+) walk deepest. */
-    int attempts = 1 << (search_log < 4 ? 4 : (search_log > 11 ? 11 : search_log));
-    /* depth ladder: the same DP serves levels 3-22; lazy-class levels use a
-       shallower walk (speed), btopt/btultra2 the deepest */
-    int min_att = (strategy <= 3) ? 48
-                : (strategy <= 5) ? 96
-                : (target_len >= 256) ? 1024 : 256;
-    if (attempts < min_att) attempts = min_att;
-    if (strategy <= 5 && attempts > min_att) attempts = min_att;
-
-    /* btultra2 levels route through the suffix-BST matchfinder; the chain
-       walk serves everything below */
-    int use_bt = (strategy >= 9);
+    int chain_log = hash_log + 2;         /* bt reach; see btMask */
+    if (chain_log > 26) chain_log = 26;
+    read_knobs();
+    int nodes = g_nodes_mult
+        << (search_log < 3 ? 3 : (search_log > 12 ? 12 : search_log));
+    int use_bt = (strategy >= 6);
+    uint32_t suff = (uint32_t)(target_len >= 16 ? target_len : 16);
+    if (g_suff > 0) suff = (uint32_t)g_suff;
+    if (suff > OPT_CELLS - 128) suff = OPT_CELLS - 128;
 
     OptCtx* X = (OptCtx*)vctx;
-    if (src_end < block_end) src_end = block_end;
     if (opt_ctx_ensure(X, base, window_low, block_start, block_end,
-                       src_end, hash_log, use_bt) < 0) return -1;
-    Chains C = X->C;   /* struct copy: pointers shared with the ctx */
-    size_t head_bytes = sizeof(int32_t) << hash_log;
-    size_t head3_bytes = sizeof(int32_t) << HASH3_LOG;
-    int64_t prefix_n = block_start - C.base_pos;
-    int32_t* head_copy = X->head_snap;
-    int32_t* head3_copy = X->head3_snap;
-    int32_t* bt0_copy = X->bt0_snap;
-    int32_t* bt1_copy = X->bt1_snap;
-    Cell* cells = malloc(sizeof(Cell) * (size_t)(n + 1));
-    Match* m = malloc(sizeof(Match) * MAX_CAND);
-    int64_t rc = -1;
-    if (!cells || !m) goto done;
+                       src_end, hash_log, chain_log, use_bt, nodes) < 0)
+        return -1;
 
-    /* snapshot the at-block-entry matcher state (iterations re-insert) */
-    memcpy(head_copy, C.head, head_bytes);
-    memcpy(head3_copy, C.head3, head3_bytes);
-    if (use_bt && prefix_n) {
-        memcpy(bt0_copy, C.bt0, sizeof(int32_t) * (size_t)prefix_n);
-        memcpy(bt1_copy, C.bt1, sizeof(int32_t) * (size_t)prefix_n);
-    }
-
-    /* pass 1: statistics */
-    Prices P;
-    memset(&P, 0, sizeof(P));
-    stats_pass(base, block_start, block_end, window_low, src_end, reps, &C,
-               attempts > 64 ? 64 : attempts, &P, use_bt);
-    prices_rebuild(&P);
-
-    /* pass 2+: iterated DP (second iteration re-prices from the first
-       iteration's own parse — the btultra2 self-seeding idea) */
-    int n_iters = (n < 4096) ? 1
-                : (strategy >= 9) ? 5
-                : (strategy >= 8) ? 4
-                : (strategy >= 6) ? 3 : 2;
-    for (int iter = 0; iter < n_iters; iter++) {
-    memcpy(C.head, head_copy, head_bytes);   /* reset to prefix state */
-    memcpy(C.head3, head3_copy, head3_bytes);
-    if (use_bt && prefix_n) {
-        /* prefix nodes may have hooked block positions last iteration */
-        memcpy(C.bt0, bt0_copy, sizeof(int32_t) * (size_t)prefix_n);
-        memcpy(C.bt1, bt1_copy, sizeof(int32_t) * (size_t)prefix_n);
-    }
-
-    for (int64_t i = 0; i <= n; i++) { cells[i].price = PINF; cells[i].litrun = 0; }
-    cells[0].price = 0;
-    cells[0].ml = 0;
-    cells[0].rep[0] = reps[0]; cells[0].rep[1] = reps[1];
-    cells[0].rep[2] = reps[2];
-
-    for (int64_t i = 0; i < n; i++) {
-        Cell* c = &cells[i];
-        int64_t pos = block_start + i;
-        int32_t prev3 = -1;
-        int nm_bt = 0;
-        if (pos + 4 <= block_end) {
-            prev3 = C.head3[hash3(base + pos)];
+    Prices* P = &X->P;
+    /* btopt (strategies 6-7) prices in whole bits with a long-offset
+     * handicap; btultra/btultra2 (8-9) in fractional bits
+     * (ZSTD_compressBlock_opt0/opt2 optLevel split). Strategies <= 5 only
+     * reach the DP via the ZSTD_TPU_HOST_PARSER=dp override — give them
+     * the accurate fractional pricing. */
+    P->opt_level = (strategy == 6 || strategy == 7) ? 0 : 2;
+    if (!X->has_stats) {
+        if (g_twopass == 2) {
+            int64_t seed_end = block_start + (n < 131072 ? n : 131072);
+            seed_stats(base, block_start, seed_end, window_low, reps, P, 1);
+        } else {
+            seed_baseline(P, base + block_start, n);
+        }
+        X->has_stats = 1;
+        if (g_twopass && n >= 16384 && strategy >= 9) {
+            /* first-block statistics pass: parse the block for real, keep
+             * only the histograms, then rewind the matcher and reparse
+             * with informed prices (ZSTD_initStats_ultra role — btultra2
+             * only, zstd_opt.c:1520-1536) */
+            prices_rebuild(P);
+            uint32_t reps_a[3] = {reps[0], reps[1], reps[2]};
+            (void)opt_core(X, base, window_low, block_start, block_end,
+                           src_end, reps_a, ll_out, ob_out, mb_out, seq_cap,
+                           nodes, suff, use_bt);
+            memset(X->head, -1, ((size_t)1 << X->hash_log) * sizeof(int32_t));
+            memset(X->head3, -1, ((size_t)1 << HASH3_LOG) * sizeof(int32_t));
+            if (use_bt)
+                memset(X->bt, -1,
+                       ((size_t)2 << X->bt_log) * sizeof(int32_t));
+            else
+                memset(X->chain, -1,
+                       ((size_t)1 << X->chain_log) * sizeof(int32_t));
+            X->ins_until = window_low;
+            X->ntu3 = window_low;
+            /* re-index any window prefix (dictionary) */
+            while (X->ntu3 + 3 <= block_start) {
+                X->head3[hash3(base + X->ntu3)] = (int32_t)X->ntu3;
+                X->ntu3++;
+            }
             if (use_bt) {
-                C.head3[hash3(base + pos)] = (int32_t)pos;
-                nm_bt = bt_search_insert(
-                    &C, base, pos, window_low, block_end, src_end, attempts,
-                    (c->price < PINF && pos + 8 < block_end) ? m : NULL,
-                    prev3);
+                while (X->ins_until + 8 <= block_start)
+                    bt_search(X, base, X->ins_until, window_low, block_end,
+                              src_end, nodes, NULL);
             } else {
-                chains_insert(&C, base, pos);
+                while (X->ins_until + 8 <= block_start) {
+                    chain_insert(X, base, X->ins_until);
+                    X->ins_until++;
+                }
             }
+            if (block_start > X->ins_until) X->ins_until = block_start;
+            prices_halve(P);   /* pass B rescales pass A's statistics */
         }
-        if (c->price >= PINF) continue;
-
-        /* literal step: lit price + incremental LL-code delta */
-        {
-            uint32_t lr = c->litrun;
-            int64_t np = c->price + P.lit_price[base[pos]]
-                         + (llp(&P, lr + 1) - llp(&P, lr));
-            Cell* t = &cells[i + 1];
-            if (np < t->price) {
-                t->price = np;
-                t->ml = 0;
-                t->litrun = lr + 1;
-                t->rep[0] = c->rep[0]; t->rep[1] = c->rep[1];
-                t->rep[2] = c->rep[2];
-            }
-        }
-
-        if (pos + 8 >= block_end) continue;   /* tail stays literal */
-        int64_t limit = block_end - pos;
-        uint32_t ll = c->litrun;
-        /* match base: cell price already holds llp(ll)-llp(0); add the base */
-        int64_t mbase = c->price + P.ll_price[0] + SEQ_BIAS;
-
-        /* rep matches (len >= 3) */
-        for (int r = 0; r < 3; r++) {
-            uint32_t d;
-            if (ll != 0) d = c->rep[r];
-            else d = (r == 0) ? c->rep[1] : (r == 1) ? c->rep[2]
-                              : (c->rep[0] > 1 ? c->rep[0] - 1 : 0);
-            uint32_t ob = r + 1;
-            if (d == 0 || pos - (int64_t)d < window_low) continue;
-            if (memcmp(base + pos, base + pos - d, 3) != 0) continue;
-            int64_t L64 = 3 + lcp(base + pos + 3, base + pos - d + 3,
-                                  limit - 3);
-            uint32_t L = (uint32_t)L64;
-            int64_t ofp = P.of_price[highbit(ob)];
-            uint32_t cap = L < RELAX_CAP ? L : RELAX_CAP;
-            for (uint32_t l = 3; l <= cap; l++)
-                relax(cells, i, l,
-                      mbase + ofp + P.ml_price[ml_code_exact(l - MINMATCH)],
-                      ob, ll, c->rep);
-            if (L > cap)
-                relax(cells, i, L,
-                      mbase + ofp + P.ml_price[ml_code_exact(L - MINMATCH)],
-                      ob, ll, c->rep);
-        }
-
-        /* matches: suffix-BST walk (btultra2) or hash-chain walk, plus the
-           len >= 3 probe via hash3 inside find_matches (chain mode) */
-        int nm = use_bt ? nm_bt
-                        : find_matches(&C, base, pos, window_low, block_end,
-                                       attempts, prev3, m);
-        uint32_t from_len = MINMATCH;
-        for (int k = 0; k < nm; k++) {
-            uint32_t L = m[k].len;
-            uint32_t d = m[k].dist;
-            uint32_t ob = off_base(d, ll, c->rep);
-            int64_t ofp = P.of_price[highbit(ob)];
-            uint32_t cap = L < RELAX_CAP ? L : RELAX_CAP;
-            for (uint32_t l = from_len; l <= cap; l++)
-                relax(cells, i, l,
-                      mbase + ofp + P.ml_price[ml_code_exact(l - MINMATCH)],
-                      ob, ll, c->rep);
-            if (L > cap)
-                relax(cells, i, L,
-                      mbase + ofp + P.ml_price[ml_code_exact(L - MINMATCH)],
-                      ob, ll, c->rep);
-            from_len = L + 1;
-        }
+    } else {
+        prices_halve(P);
     }
-
-    if (iter + 1 < n_iters) {
-        /* re-collect histograms from this parse for the next iteration */
-        memset(P.lit, 0, sizeof(P.lit)); memset(P.llc, 0, sizeof(P.llc));
-        memset(P.mlc, 0, sizeof(P.mlc)); memset(P.ofc, 0, sizeof(P.ofc));
-        P.lit_tot = P.ll_tot = P.ml_tot = P.of_tot = 0;
-        int64_t i = n;
-        while (i > 0) {
-            if (cells[i].price >= PINF) break;
-            if (cells[i].ml > 0) {
-                uint32_t ll = cells[i].ll, ml = cells[i].ml, ob = cells[i].ob;
-                int64_t start = i - ml - ll;
-                for (int64_t q = start; q < start + ll; q++)
-                    P.lit[base[block_start + q]]++;
-                P.lit_tot += ll;
-                P.llc[ll_code_exact(ll)]++; P.ll_tot++;
-                P.mlc[ml_code_exact(ml - MINMATCH)]++; P.ml_tot++;
-                P.ofc[highbit(ob)]++; P.of_tot++;
-                i = start;
-            } else {
-                P.lit[base[block_start + i - 1]]++;
-                P.lit_tot++;
-                i--;
-            }
-        }
-        prices_rebuild_ex(&P, iter + 2 < n_iters
-                          ? (int64_t)(3.5 * SCALE)
-                          : (int64_t)(8.0 * SCALE));
-    }
-    }  /* iter loop */
-
-    /* the final iteration left the block inserted (tail-gated): record it */
-    X->ins_until = (block_end - 3 > X->ins_until) ? block_end - 3
-                                                  : X->ins_until;
-
-    /* backtrack */
-    {
-        int64_t nseq = 0, i = n;
-        while (i > 0) {
-            if (cells[i].price >= PINF) goto done;
-            if (cells[i].ml > 0) { nseq++; i -= cells[i].ml + cells[i].ll; }
-            else i--;
-        }
-        if (nseq > seq_cap) goto done;
-        int64_t k = nseq;
-        i = n;
-        while (i > 0) {
-            if (cells[i].ml > 0) {
-                k--;
-                ll_out[k] = (int32_t)cells[i].ll;
-                ob_out[k] = (int32_t)cells[i].ob;
-                mb_out[k] = (int32_t)(cells[i].ml - MINMATCH);
-                i -= cells[i].ml + cells[i].ll;
-            } else i--;
-        }
-        reps[0] = cells[n].rep[0];
-        reps[1] = cells[n].rep[1];
-        reps[2] = cells[n].rep[2];
-        rc = nseq;
-    }
-
-done:
-    free(cells); free(m);   /* matcher arrays live in the ctx */
-    return rc;
+    prices_rebuild(P);
+    return opt_core(X, base, window_low, block_start, block_end, src_end,
+                    reps, ll_out, ob_out, mb_out, seq_cap, nodes, suff,
+                    use_bt);
 }
 
 /* single-shot compatibility wrapper (tests / no-ctx callers) */

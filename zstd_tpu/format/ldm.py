@@ -147,11 +147,23 @@ def find_sequences_ldm(full: np.ndarray, block_start: int, block_end: int,
             return SeqStore(np.zeros(0, np.int32), np.zeros(0, np.int32),
                             np.zeros(0, np.int32), b""), r
         wl = max(window_low, gs - inner_window)
-        import os as _os
-        if cparams.strategy >= 2 or (
-                _os.environ.get("ZSTD_TPU_HOST_PARSER", "") != "fast"):
-            # same inner routing as plain blocks: native DP parser with
-            # lazy fallback (format/opt.py)
+        # Same strategy dispatch as plain blocks (block.py
+        # extract_sequences / ZSTD_selectBlockCompressor role): LDM wraps
+        # the LEVEL's inner match finder (zstd_compress.c:3263-3292), not
+        # the optimal parser — routing every gap through the DP both
+        # crawled and parsed mid-level text worse than the chain-lazy
+        # matchfinder tuned for those strategies.
+        if cparams.strategy == 1:
+            from .opt import find_sequences_fast
+            res = find_sequences_fast(full, gs, ge, wl, r, cparams)
+            if res is not None:
+                return res
+        if cparams.strategy in (2, 3, 4, 5):
+            from .opt import find_sequences_chainlazy
+            res = find_sequences_chainlazy(full, gs, ge, wl, r, cparams)
+            if res is not None:
+                return res
+        if cparams.strategy >= 2:
             from .opt import find_sequences_opt
             return find_sequences_opt(full, gs, ge, wl, r, cparams)
         return find_sequences(full, gs, ge, wl, r,

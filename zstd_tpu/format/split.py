@@ -27,8 +27,12 @@ _ML_BITS = np.array(
     dtype=np.int64)
 
 # per extra block: 3B block header + literals header + fresh-ish tables.
-_SPLIT_OVERHEAD_BITS = 8 * 56
-_MIN_SEQS = 96
+import os
+_SPLIT_OVERHEAD_BITS = 8 * int(os.environ.get("ZT_SPLIT_OVH", "56"))
+# recurse while a half keeps >= 150 sequences (i.e. split segments of >= 300,
+# the reference's MIN_SEQUENCES_BLOCK_SPLITTING; depth is then bounded by the
+# sequence count, not a fixed fan-out, zstd_compress.c:4122)
+_MIN_SEQS = int(os.environ.get("ZT_SPLIT_MINSEQ", "150"))
 
 
 def _h_bits(counts: np.ndarray) -> float:
@@ -75,7 +79,7 @@ def make_estimator(seqs: SeqStore) -> "_Est":
     return _Est(seqs, np.frombuffer(seqs.literals, dtype=np.uint8))
 
 
-def split_points(seqs: SeqStore, max_depth: int = 4,
+def split_points(seqs: SeqStore, max_depth: int = 10,
                  target_cblock_size: int | None = None) -> list[int]:
     """Sequence-index split points (interior), or [] when one block wins.
 
