@@ -62,6 +62,23 @@ for r in range(reps):
 mbps = total / t_best / 1e6
 ratio = total / len(blob)
 
+# device-resident encode: both device programs run, packed streams stay on
+# device; excludes the output d2h (physically capped by the ~20-30 MB/s
+# tunnel here — a PCIe deployment would see ~this number end-to-end)
+enc_res = 0.0
+try:
+    tot_payload = comp.compress_resident(data[: 1 << 20])  # warm
+    hb(f"encres warm: payload {tot_payload}")
+    t = float("inf")
+    for r in range(reps):
+        t0 = time.time()
+        comp.compress_resident(data)
+        t = min(t, time.time() - t0)
+    enc_res = total / t / 1e6
+    hb(f"encode resident: {enc_res:.1f} MB/s")
+except Exception as e:
+    hb(f"encres failed: {type(e).__name__}: {e}")
+
 # decode throughput (host native path; reference baseline 1580 MB/s)
 t_dec = float("inf")
 for r in range(reps):
@@ -128,6 +145,7 @@ print(json.dumps({
     "decode_vs_baseline": round(dec_mbps / 1580.0, 4),
     "device_decode_mbps": round(dev_e2e, 1),
     "device_decode_resident_mbps": round(dev_res, 1),
+    "device_encode_resident_mbps": round(enc_res, 1),
     "host_encode_mbps": round(host_mbps, 1),
 }))
 '''

@@ -426,30 +426,61 @@ static int huf_decode_4streams(const HufDT* t, const uint8_t* srcs[4],
         if (bitrd_init(&br[s], srcs[s], sizes[s]) < 0) return -1;
         i[s] = 0;
     }
-    for (;;) {
-        /* a full round: 4 probes/stream, <= 44 bits, <= 8 symbols */
-        int ok = 1;
-        for (int s = 0; s < 4; s++)
-            ok &= (i[s] + 10 <= n_outs[s]) & (br[s].bit_pos >= 57)
-                  & (((br[s].bit_pos - 57) >> 3) + 8 <= br[s].size);
-        if (!ok) break;
-        uint64_t v[4];
-        int64_t bb[4];
-        for (int s = 0; s < 4; s++) {
-            int64_t byte = (br[s].bit_pos - 57) >> 3;
-            memcpy(&v[s], br[s].start + byte, 8);
-            bb[s] = byte << 3;
-        }
-        for (int k = 0; k < 5; k++) {
-            for (int s = 0; s < 4; s++) {
-                uint32_t e = t->x2[(uint32_t)(
-                    (v[s] >> (br[s].bit_pos - tlog - bb[s])) & mask)];
-                dsts[s][i[s]] = (uint8_t)e;
-                dsts[s][i[s] + 1] = (uint8_t)(e >> 8);
-                i[s] += e >> 24;
-                br[s].bit_pos -= (e >> 16) & 0xFF;
+    {
+        /* hot rounds with all per-stream state in locals: the compiler
+         * keeps shifts/counters in registers instead of reloading the
+         * br[]/i[] arrays after every aliasing store (the role the
+         * reference fills with hand-allocated registers in
+         * huf_decompress_amd64.S) */
+        const uint32_t* const x2 = t->x2;
+        uint8_t* d0 = dsts[0]; uint8_t* d1 = dsts[1];
+        uint8_t* d2 = dsts[2]; uint8_t* d3 = dsts[3];
+        int64_t i0 = i[0], i1 = i[1], i2 = i[2], i3 = i[3];
+        for (;;) {
+            /* a full round: 5 probes/stream, <= 55 bits, <= 10 symbols */
+            int ok = (i0 + 10 <= n_outs[0]) & (br[0].bit_pos >= 57)
+                   & (((br[0].bit_pos - 57) >> 3) + 8 <= br[0].size)
+                   & (i1 + 10 <= n_outs[1]) & (br[1].bit_pos >= 57)
+                   & (((br[1].bit_pos - 57) >> 3) + 8 <= br[1].size)
+                   & (i2 + 10 <= n_outs[2]) & (br[2].bit_pos >= 57)
+                   & (((br[2].bit_pos - 57) >> 3) + 8 <= br[2].size)
+                   & (i3 + 10 <= n_outs[3]) & (br[3].bit_pos >= 57)
+                   & (((br[3].bit_pos - 57) >> 3) + 8 <= br[3].size);
+            if (!ok) break;
+            uint64_t v0, v1, v2, v3;
+            int64_t byte0 = (br[0].bit_pos - 57) >> 3;
+            int64_t byte1 = (br[1].bit_pos - 57) >> 3;
+            int64_t byte2 = (br[2].bit_pos - 57) >> 3;
+            int64_t byte3 = (br[3].bit_pos - 57) >> 3;
+            memcpy(&v0, br[0].start + byte0, 8);
+            memcpy(&v1, br[1].start + byte1, 8);
+            memcpy(&v2, br[2].start + byte2, 8);
+            memcpy(&v3, br[3].start + byte3, 8);
+            /* shift cursors relative to the loaded word */
+            int sh0 = (int)(br[0].bit_pos - (byte0 << 3)) - tlog;
+            int sh1 = (int)(br[1].bit_pos - (byte1 << 3)) - tlog;
+            int sh2 = (int)(br[2].bit_pos - (byte2 << 3)) - tlog;
+            int sh3 = (int)(br[3].bit_pos - (byte3 << 3)) - tlog;
+            for (int k = 0; k < 5; k++) {
+                uint32_t e0 = x2[(uint32_t)((v0 >> sh0) & mask)];
+                uint32_t e1 = x2[(uint32_t)((v1 >> sh1) & mask)];
+                uint32_t e2 = x2[(uint32_t)((v2 >> sh2) & mask)];
+                uint32_t e3 = x2[(uint32_t)((v3 >> sh3) & mask)];
+                memcpy(d0 + i0, &e0, 2);
+                memcpy(d1 + i1, &e1, 2);
+                memcpy(d2 + i2, &e2, 2);
+                memcpy(d3 + i3, &e3, 2);
+                i0 += e0 >> 24; sh0 -= (e0 >> 16) & 0xFF;
+                i1 += e1 >> 24; sh1 -= (e1 >> 16) & 0xFF;
+                i2 += e2 >> 24; sh2 -= (e2 >> 16) & 0xFF;
+                i3 += e3 >> 24; sh3 -= (e3 >> 16) & 0xFF;
             }
+            br[0].bit_pos = (byte0 << 3) + sh0 + tlog;
+            br[1].bit_pos = (byte1 << 3) + sh1 + tlog;
+            br[2].bit_pos = (byte2 << 3) + sh2 + tlog;
+            br[3].bit_pos = (byte3 << 3) + sh3 + tlog;
         }
+        i[0] = i0; i[1] = i1; i[2] = i2; i[3] = i3;
     }
     /* drain each stream independently (X2 fast loop + strict scalar tail) */
     for (int s = 0; s < 4; s++) {
@@ -815,24 +846,31 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
          * fallbacks otherwise */
         if (lit_pos + ll > nlit) return -1;
         if (out + ll + ml > dstCap) return -1;
-        int wild = (out + ll + ml + 32 <= dstCap);
-        if (wild && ll <= 16) {
-            memcpy(dstBase + out, ctx->lits + lit_pos, 16);
+        int wild = (out + ll + ml + 64 <= dstCap);
+        if (wild && ll <= 32) {
+            memcpy(dstBase + out, ctx->lits + lit_pos, 32);
         } else if (wild) {
             const uint8_t* s0 = ctx->lits + lit_pos;
             uint8_t* d0 = dstBase + out;
-            for (int64_t c = 0; c < ll; c += 16)
-                memcpy(d0 + c, s0 + c, 16);
+            for (int64_t c = 0; c < ll; c += 32)
+                memcpy(d0 + c, s0 + c, 32);
         } else {
             memcpy(dstBase + out, ctx->lits + lit_pos, ll);
         }
         lit_pos += ll;
         out += ll;
         if ((int64_t)out - (int64_t)offset < windowLow) return -1;
-        if (wild && offset >= 16) {
+        if (wild && offset >= 32) {
             const uint8_t* s0 = dstBase + out - offset;
             uint8_t* d0 = dstBase + out;
-            for (int64_t c = 0; c < ml; c += 16)
+            for (int64_t c = 0; c < ml; c += 32)
+                memcpy(d0 + c, s0 + c, 32);
+            out += ml;
+        } else if (wild && offset >= 16) {
+            const uint8_t* s0 = dstBase + out - offset;
+            uint8_t* d0 = dstBase + out;
+            memcpy(d0, s0, 16);
+            for (int64_t c = 16; c < ml; c += 16)
                 memcpy(d0 + c, s0 + c, 16);
             out += ml;
         } else if (wild && offset >= 8) {

@@ -138,53 +138,105 @@ def _raise_device_failure(okj, finalj, nl) -> None:
     raise Corruption("device exec: dependency depth exceeded")
 
 
-def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
-    """Decode all frames with the fused device program. Frames whose blocks
-    exceed a device kernel limit fall back to the host decoder per frame
-    (module contract above).
+# one fused program covers up to this much decoded content; groups larger
+# than this split so device buffers stay bounded
+_GROUP_CONTENT_CAP = 32 << 20
 
-    Multi-frame inputs are software-pipelined: every frame's program is
-    dispatched (async) before any output is fetched, so host parsing of
-    frame k+1 and the d2h of frame k overlap device execution."""
+
+def _parse_jobs(data: bytes, window_log_max: int):
+    """Walk all frames: parse device-decodable ones, host-decode the rest.
+    Yields ("dev", _ParsedFrame, csum_pos) | ("host", content) in order."""
     pos = 0
-    if len(data) == 0:
-        raise ZstdError(ZstdErrorCode.srcSize_wrong, "empty input")
-    jobs = []  # ("dev", out, ok, final, nl, n, hdr, csum_pos) | ("host", b)
+    jobs = []
     while pos < len(data):
         if is_skippable(data, pos):
             size = int.from_bytes(data[pos + 4 : pos + 8], "little")
             pos += 8 + size
             continue
         try:
-            outj, okj, finalj, nl, n, p, hdr = _device_decode_frame(
-                data, pos, window_log_max)
-            csum_pos = p if hdr.checksum_flag else -1
-            if hdr.checksum_flag:
+            pf = _parse_frame(data, pos, window_log_max)
+            p = pf.end_pos
+            csum_pos = p if pf.hdr.checksum_flag else -1
+            if pf.hdr.checksum_flag:
                 p += 4
-            jobs.append(("dev", outj, okj, finalj, nl, n, hdr, csum_pos))
+            pf.end_pos = p
+            jobs.append(("dev", pf, csum_pos))
             pos = p
         except _DeviceUnsupported:
             from .format.frame import decompress_frame
             content, pos = decompress_frame(data, pos, window_log_max)
-            jobs.append(("host", content))
-    out = bytearray()
+            jobs.append(("host", content, -1))
+    return jobs
+
+
+def _group_dev_jobs(jobs):
+    """Split the job list into runs of consecutive device frames (bounded
+    by _GROUP_CONTENT_CAP content bytes per fused program) and host jobs."""
+    groups = []
+    run = []
+    run_n = 0
     for job in jobs:
-        if job[0] == "host":
-            out += job[1]
+        if job[0] == "dev" and (not run or
+                                run_n + job[1].n <= _GROUP_CONTENT_CAP):
+            run.append(job)
+            run_n += job[1].n
             continue
-        _, outj, okj, finalj, nl, n, hdr, csum_pos = job
+        if run:
+            groups.append(("dev", run))
+            run, run_n = [], 0
+        if job[0] == "dev":
+            run = [job]
+            run_n = job[1].n
+        else:
+            groups.append(("host", job[1]))
+    if run:
+        groups.append(("dev", run))
+    return groups
+
+
+def device_decompress(data: bytes, window_log_max: int = 31) -> bytes:
+    """Decode all frames with the fused device program. Frames whose blocks
+    exceed a device kernel limit fall back to the host decoder per frame
+    (module contract above).
+
+    Consecutive device-decodable frames fuse into ONE program (the
+    symbol-decode scan is latency-bound: one scan over all frames' lanes
+    beats per-frame scans by ~the frame count), and groups are dispatched
+    async before any output is fetched."""
+    if len(data) == 0:
+        raise ZstdError(ZstdErrorCode.srcSize_wrong, "empty input")
+    groups = _group_dev_jobs(_parse_jobs(data, window_log_max))
+    dispatched = []
+    for kind, payload in groups:
+        if kind == "host":
+            dispatched.append(("host", payload))
+        else:
+            outj, okj, finalj, nl = _dispatch_group(
+                [pf for _, pf, _ in payload])
+            dispatched.append(("dev", payload, outj, okj, finalj, nl))
+    out = bytearray()
+    for d in dispatched:
+        if d[0] == "host":
+            out += d[1]
+            continue
+        _, run, outj, okj, finalj, nl = d
         if not bool(okj):
             _raise_device_failure(okj, finalj, nl)
-        content = np.asarray(outj)[:n].tobytes()
-        if hdr.frame_content_size is not None and \
-                len(content) != hdr.frame_content_size:
-            raise Corruption("decoded size mismatch")
-        if csum_pos >= 0:
-            stored = int.from_bytes(data[csum_pos : csum_pos + 4], "little")
-            if stored != (xxh64(content) & 0xFFFFFFFF):
-                raise ZstdError(ZstdErrorCode.checksum_wrong,
-                                "content checksum mismatch")
-        out += content
+        arr = np.asarray(outj)
+        base = 0
+        for _, pf, csum_pos in run:
+            content = arr[base : base + pf.n].tobytes()
+            base += pf.n
+            if pf.hdr.frame_content_size is not None and \
+                    len(content) != pf.hdr.frame_content_size:
+                raise Corruption("decoded size mismatch")
+            if csum_pos >= 0:
+                stored = int.from_bytes(data[csum_pos : csum_pos + 4],
+                                        "little")
+                if stored != (xxh64(content) & 0xFFFFFFFF):
+                    raise ZstdError(ZstdErrorCode.checksum_wrong,
+                                    "content checksum mismatch")
+            out += content
     return bytes(out)
 
 
@@ -198,23 +250,73 @@ def _bucket(n: int, base: int = 4096) -> int:
 
 
 def device_decompress_resident(data: bytes, window_log_max: int = 31):
-    """Decode one frame, leaving the output ON DEVICE (the production shape
+    """Decode frames, leaving the output ON DEVICE (the production shape
     for feeding decompressed bytes straight into a device input pipeline:
     no d2h transfer, no host checksum). Returns (device uint8 array padded
     to a size bucket, content_length, ok_scalar) — callers must check
     `bool(ok_scalar)` after consuming; it folds in the Huffman over-read
-    check. Multi-frame inputs take the first frame only."""
+    check, and `error_kind()` on it distinguishes a literal stream
+    over-read from exec depth exhaustion. Multi-frame inputs fuse into one
+    program (up to _GROUP_CONTENT_CAP content; the first group only —
+    content is the frames' outputs concatenated)."""
     if is_skippable(data, 0):
         raise ZstdError(ZstdErrorCode.prefix_unknown, "skippable frame")
-    outj, okj, _finalj, _nl, n, _end, _hdr = _device_decode_frame(
-        data, 0, window_log_max)
-    return outj, n, okj
+    groups = _group_dev_jobs(_parse_jobs(data, window_log_max))
+    if not groups or groups[0][0] != "dev":
+        raise _DeviceUnsupported("no device-decodable leading frame")
+    run = groups[0][1]
+    outj, okj, finalj, nl = _dispatch_group([pf for _, pf, _ in run])
+    n = sum(pf.n for _, pf, _ in run)
+    return outj, n, _ResidentOk(okj, finalj, nl)
+
+
+class _ResidentOk:
+    """Deferred ok scalar for the resident path: truthiness fetches the
+    fused program's ok flag; `error_kind()` reports which check failed
+    ('over-read' | 'exec-depth' | None) without changing the bool
+    contract (ADVICE r3: finalj was discarded, so resident consumers
+    could not report the right error)."""
+
+    def __init__(self, okj, finalj, nl):
+        self._okj = okj
+        self._finalj = finalj
+        self._nl = nl
+
+    def __bool__(self) -> bool:
+        return bool(self._okj)
+
+    def error_kind(self) -> str | None:
+        if bool(self._okj):
+            return None
+        final = np.asarray(self._finalj)[: self._nl]
+        if self._nl and np.any(final != 0):
+            return "over-read"
+        return "exec-depth"
+
+
+class _ParsedFrame:
+    """Host-side parse of one frame, ready to merge into a fused dispatch."""
+    __slots__ = ("lanes", "lane_tab", "tables", "segs", "host_pool",
+                 "pool_len", "ll", "ml", "off", "n", "end_pos", "hdr")
+
+    def __init__(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, v)
 
 
 def _device_decode_frame(data: bytes, pos: int, window_log_max: int):
     """Parse one frame on host and dispatch the fused device program.
     Returns device handles only — (out, ok, final, n_lanes, content_len,
     end_pos, header); callers fetch."""
+    pf = _parse_frame(data, pos, window_log_max)
+    outj, okj, finalj, nl = _dispatch_group([pf])
+    return outj, okj, finalj, nl, pf.n, pf.end_pos, pf.hdr
+
+
+def _parse_frame(data: bytes, pos: int, window_log_max: int) -> _ParsedFrame:
+    """Parse one frame's blocks on host: literal streams, Huffman tables,
+    pool segments, and the frame-global sequence arrays (FSE sequence
+    decode + repcode resolution run in C). No device work."""
     hdr = parse_frame_header(data[pos:], window_log_max)
     p = pos + hdr.header_size
     hst = litmod.HufDecodeState()
@@ -251,6 +353,9 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int):
             p += 3
             if btype == BT_RAW:
                 chunk = data[p : p + bsize]
+                if len(chunk) != bsize:
+                    raise ZstdError(ZstdErrorCode.srcSize_wrong,
+                                    "truncated raw block")
                 p += bsize
                 if chunk:
                     segs.append((pool_off, 0, len(host_pool), False))
@@ -260,6 +365,9 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int):
                 blocks_lit.append(len(chunk))
                 total_len += bsize
             elif btype == BT_RLE:
+                if p >= len(data):
+                    raise ZstdError(ZstdErrorCode.srcSize_wrong,
+                                    "truncated RLE block")
                 chunk = data[p : p + 1] * bsize
                 p += 1
                 if chunk:
@@ -383,7 +491,56 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int):
         if bool(bad.any()):
             raise Corruption("offset beyond window (device decode)")
 
-    # pad every program dimension to coarse buckets so frames of different
+    return _ParsedFrame(lanes=lanes, lane_tab=lane_tab, tables=tables,
+                        segs=segs, host_pool=bytes(host_pool),
+                        pool_len=pool_off, ll=ll, ml=ml, off=off,
+                        n=int(n), end_pos=p, hdr=hdr)
+
+
+def _dispatch_group(frames: list) -> tuple:
+    """Merge parsed frames into ONE fused device program and dispatch it.
+
+    The fused kernels are already frame-global (absolute positions,
+    pool-segment scatter), so K frames merge by concatenation with base
+    shifts: output positions by the running content length, pool segments
+    by the running literal-pool length, lanes/tables by their counts.
+    Match offsets never cross a frame boundary (validated per frame), so
+    they stay correct after the shift. One program amortizes the
+    symbol-scan's per-step overhead across every lane of every frame —
+    the scan is latency-bound, not bandwidth-bound, so this is the
+    difference between K sequential scans and one.
+
+    Returns (out, ok, final, n_lanes) device handles; out is the
+    concatenated content of all frames (padded)."""
+    lanes: list[tuple[bytes, int]] = []
+    lane_tab: list[int] = []
+    tables: list[tuple[np.ndarray, np.ndarray]] = []
+    segs: list[tuple[int, int, int, bool]] = []
+    host_pool = bytearray()
+    g_ll, g_ml, g_off = [], [], []
+    pool_base = 0
+    for pf in frames:
+        lane_base = len(lanes)
+        tab_base = len(tables)
+        src_base = len(host_pool)
+        tables.extend(pf.tables)
+        lanes.extend(pf.lanes)
+        lane_tab.extend(t + tab_base for t in pf.lane_tab)
+        host_pool += pf.host_pool
+        for (st, lane, src, is_dev) in pf.segs:
+            segs.append((st + pool_base,
+                         lane + lane_base if is_dev else 0,
+                         src + src_base if not is_dev else 0, is_dev))
+        pool_base += pf.pool_len
+        g_ll.append(pf.ll)
+        g_ml.append(pf.ml)
+        g_off.append(pf.off)
+    ll = np.concatenate(g_ll) if g_ll else np.zeros(0, np.int64)
+    ml = np.concatenate(g_ml) if g_ml else np.zeros(0, np.int64)
+    off = np.concatenate(g_off) if g_off else np.zeros(0, np.int64)
+    n = sum(pf.n for pf in frames)
+
+    # pad every program dimension to coarse buckets so inputs of different
     # shapes share compiled executables
     npad = _bucket(int(n))
     seq_cap = _bucket(max(len(ll), 1))
@@ -392,9 +549,9 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int):
     mx_bytes = max((len(s) for s, _ in lanes), default=1)
     mx_syms = max((ln for _, ln in lanes), default=1)
     byte_cap = min(_bucket(max(mx_bytes, 1024)), _STREAM_CAP)
+    # per-stream lengths were already capped at _STREAM_CAP during the
+    # literals parse, so syms_cap >= mx_syms always holds here
     syms_cap = min(_bucket(max(mx_syms, 1024)), _STREAM_CAP)
-    if mx_syms > syms_cap:
-        raise _DeviceUnsupported("literal stream exceeds device cap")
     T = _bucket(max(len(tables), 1), base=2)
     S = _bucket(max(len(segs), 1), base=16)
     Hcap = _bucket(max(len(host_pool), 1), base=1024)
@@ -429,9 +586,9 @@ def _device_decode_frame(data: bytes, pos: int, window_log_max: int):
         jnp.asarray(sb), jnp.asarray(bits), jnp.asarray(nsy), jnp.int32(nl),
         jnp.asarray(lut_sym), jnp.asarray(lut_len), jnp.asarray(ltab),
         jnp.asarray(seg_start), jnp.asarray(seg_lane), jnp.asarray(seg_src),
-        jnp.asarray(seg_dev), jnp.asarray(hp), jnp.int32(pool_off),
+        jnp.asarray(seg_dev), jnp.asarray(hp), jnp.int32(pool_base),
         jnp.asarray(np.pad(ll, (0, seq_cap - len(ll))).astype(np.int32)),
         jnp.asarray(np.pad(ml, (0, seq_cap - len(ml))).astype(np.int32)),
         jnp.asarray(np.pad(off, (0, seq_cap - len(off))).astype(np.int32)),
         jnp.int32(len(ll)), jnp.int32(n), max_syms=syms_cap, n=int(npad))
-    return outj, okj, finalj, nl, int(n), p, hdr
+    return outj, okj, finalj, nl

@@ -82,8 +82,11 @@ def huf_decode_streams(wins: jax.Array, start_bits: jax.Array,
         pos = jnp.where(active, pos - ln, pos)
         return pos, sym.astype(jnp.uint8)
 
+    # unroll: the per-step compute is a few tiny gathers, so loop overhead
+    # dominates; unrolling amortizes it across 8 symbols per iteration
     final_pos, syms = jax.lax.scan(step, start_bits,
-                                   jnp.arange(max_syms, dtype=jnp.int32))
+                                   jnp.arange(max_syms, dtype=jnp.int32),
+                                   unroll=8)
     return syms.T, final_pos  # [L, max_syms], [L]
 
 

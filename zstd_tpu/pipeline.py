@@ -444,6 +444,87 @@ class TpuCompressor:
         return bytes(out)
 
     # ------------------------------------------------------------------
+    def compress_resident(self, data: bytes) -> int:
+        """Device-resident encode: run both device programs (analyze +
+        pack) over the whole input with the packed streams left ON DEVICE.
+        Only the per-batch stats vectors (needed for host entropy
+        planning) and the tiny [B, 7] sizes headers cross the link — the
+        compressed stream bytes never do. Returns the total compressed
+        payload bytes (sum of device-reported stream sizes).
+
+        This is the encode mirror of device_decompress_resident: the
+        steady-state number a PCIe-attached deployment would see from the
+        device compute + planning loop, with the output d2h (physically
+        capped by this environment's ~20-30 MB/s tunnel) excluded."""
+        n = len(data)
+        cparams = get_cparams(self.level, n)
+        if n == 0:
+            return 0
+        block_size = min(1 << cparams.window_log, BLOCK_MAX_SIZE)
+        nb_blocks = (n + block_size - 1) // block_size
+        arr = np.frombuffer(data, dtype=np.uint8)
+        batches = [(bs, min(bs + self.batch_blocks, nb_blocks))
+                   for bs in range(0, nb_blocks, self.batch_blocks)]
+
+        import concurrent.futures
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
+        stageA: dict[int, tuple] = {}
+        compacts: list = []
+        total = 0
+
+        def dispatchA(k):
+            bs, be = batches[k]
+            bsz = be - bs
+            blocks = np.zeros((bsz, block_size), dtype=np.uint8)
+            lens = np.zeros(bsz, dtype=np.int32)
+            for j, bi in enumerate(range(bs, be)):
+                s = bi * block_size
+                e = min(s + block_size, n)
+                blocks[j, : e - s] = arr[s:e]
+                lens[j] = e - s
+            eng = "lazy" if cparams.strategy >= 3 else _engine_kind()
+            if os.environ.get("ZSTD_TPU_ENGINE"):
+                eng = _engine_kind()
+            stats, resident = _analyze_jit(
+                jnp.asarray(blocks), jnp.asarray(lens),
+                cparams.hash_log, min(max(cparams.min_match, 4), 8),
+                max(block_size // 8, 8), engine=eng)
+            stageA[k] = (lens, pool.submit(np.asarray, stats), resident)
+
+        def planB(k):
+            lens, stats_fut, resident = stageA[k]
+            stats = stats_fut.result()
+            plans, blob, cap, out_w_fse, seg_cap, out_w_huf = \
+                self._build_plans(stats, lens, cparams.strategy, block_size)
+            r = resident
+            compact, sizes = _pack_impl(
+                r["llc"], r["mlc"], r["ofc"], r["llx"], r["mlb"], r["ob"],
+                r["nb_seq"], r["lits"], r["nb_lit"], jnp.asarray(blob),
+                cap, out_w_fse, seg_cap, out_w_huf)
+            B = len(plans)
+            hdr_d = _prefix_fetcher(B * 7 * 4)(compact)
+            compacts.append((plans, compact, hdr_d))
+            del stageA[k]
+
+        try:
+            WINDOW = 3
+            for k in range(len(batches)):
+                dispatchA(k)
+                if k >= WINDOW - 1:
+                    planB(k - WINDOW + 1)
+            for k in range(max(len(batches) - WINDOW + 1, 0), len(batches)):
+                planB(k)
+            for plans, compact, hdr_d in compacts:
+                sizes = np.asarray(hdr_d).view(np.int32).reshape(
+                    len(plans), 7)
+                _, tot = self._region_metas(plans, sizes)
+                total += tot
+                compact.block_until_ready()
+        finally:
+            pool.shutdown(wait=False)
+        return total
+
+    # ------------------------------------------------------------------
     def _build_plans(self, stats, lens, strategy, block_size):
         """Host half of program B: per-block entropy planning from the
         stats vectors alone. Returns (plans, plan blob, pack shape params);
