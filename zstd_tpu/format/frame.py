@@ -185,6 +185,37 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
             out += content_checksum(b"").to_bytes(4, "little")
         return bytes(out)
 
+    # whole-frame fast path in C (native/cblock.c): the fast strategy with
+    # no prefix/LDM/superblock runs parse + entropy + block emit in ONE
+    # native call per frame — the Python per-block loop pays ~3x the parse
+    # cost in glue (the reference's single-pass shape,
+    # zstd_compress.c:4527 ZSTD_compress_frameChunk)
+    import os as _os
+    if (cparams.strategy == 1 and not long_mode and not prefix
+            and ldm_state is None and not target_cblock_size
+            and n >= 128 and not _os.environ.get("ZSTD_TPU_HOST_PARSER")):
+        from .opt import get_native
+        nat = get_native()
+        if nat is not None:
+            step0 = max(1, -cparams.target_length
+                        if cparams.target_length < 0
+                        else cparams.target_length
+                        if cparams.target_length > 0 else 1)
+            table = np.full(2 << cparams.hash_log, -1, dtype=np.int32)
+            blocks = nat.compress_fast_frame(
+                np.frombuffer(data, dtype=np.uint8), 0, n,
+                1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),
+                cparams.hash_log, 8, min(max(cparams.min_match, 4), 8),
+                step0, cparams.strategy, table)
+            if blocks is not None:
+                out += blocks
+                if checksum:
+                    out += content_checksum(data).to_bytes(4, "little")
+                from ..trace import GLOBAL_PROGRESSION as _pg
+                _pg.ingested = _pg.consumed = n
+                _pg.produced = _pg.flushed = len(out)
+                return bytes(out)
+
     p0 = len(prefix)
     full = np.frombuffer(prefix + data, dtype=np.uint8)
     window_size = 1 << window_log

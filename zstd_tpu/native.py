@@ -105,6 +105,11 @@ class _Native:
         lib.zt_huf_encode4.restype = ctypes.c_int64
         lib.zt_huf_encode4.argtypes = [
             u8p, ctypes.c_int64, i32p, i32p, u8p, ctypes.c_int64]
+        lib.zt_compress_fast_frame.restype = ctypes.c_int64
+        lib.zt_compress_fast_frame.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, u32p, i32p, u8p, ctypes.c_int64]
         lib.zt_fse_build_ctable.restype = ctypes.c_int64
         lib.zt_fse_build_ctable.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, i32p, i64p, i64p]
@@ -206,6 +211,32 @@ class _Native:
         if n < 0:
             return None
         return ll[:n], ml[:n], off[:n]
+
+    def compress_fast_frame(self, full, start: int, end: int,
+                            window_size: int, block_size: int,
+                            hash_log: int, accel_log: int, mls: int,
+                            step0: int, strategy: int, table):
+        """Whole-frame fast-path block loop in C (native/cblock.c): parse,
+        entropy-code, and emit every block of [start, end) in one call.
+        Returns the concatenated block bytes, or None (fall back to the
+        Python loop)."""
+        import numpy as np
+        n = end - start
+        out_cap = n + n // 2 + 4096
+        out = np.zeros(out_cap, dtype=np.uint8)
+        reps_arr = np.array([1, 4, 8], dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        sz = self._lib.zt_compress_fast_frame(
+            full.ctypes.data_as(u8p), start, end, window_size, block_size,
+            hash_log, accel_log, mls, step0, strategy,
+            reps_arr.ctypes.data_as(u32p), table.ctypes.data_as(i32p),
+            out.ctypes.data_as(u8p), out_cap)
+        if sz < 0:
+            return None
+        return out[:sz].tobytes()
 
     def fast_parse(self, full, window_low: int, block_start: int,
                    block_end: int, reps: tuple, hash_log: int,
