@@ -38,12 +38,15 @@
 #include <stdlib.h>
 #include <string.h>
 #include <math.h>
+#include <stdio.h>
 
 #define MINMATCH 3
 #define PINF ((int64_t)1 << 60)
 #define SCALE 256            /* price unit: 1/256 bit (BITCOST role) */
 #define OPT_CELLS 4096       /* DP horizon per chunk (ZSTD_OPT_NUM role) */
-#define MAX_BT_CAND 64       /* increasing-length candidates per position */
+#define MAX_BT_CAND (OPT_CELLS)     /* staircase lengths strictly increase
+                                       and cap at sufficient_len < OPT_CELLS,
+                                       so this never saturates */
 #define MAX_CAND (MAX_BT_CAND + 4)   /* + 3 reps + hash3 probe */
 #define HASH3_LOG 16
 #define LITFREQ_ADD 2        /* literal stats weight (ZSTD_LITFREQ_ADD) */
@@ -51,16 +54,20 @@
 /* tuning knobs (env-read once; defaults = shipped behavior) */
 static int g_nodes_mult = -1, g_bias = -1, g_suff = -1;
 static int g_twopass = -1, g_noskip = 0, g_skipmin = -1, g_skipcap = -1;
+static long g_dbg_pos = -1;
+static void code_tabs_init(void);
 static void read_knobs(void) {
     if (g_nodes_mult >= 0) return;
     const char* s;
     g_nodes_mult = (s = getenv("ZT_OPT_NODES_MULT")) ? atoi(s) : 1;
     g_bias = (s = getenv("ZT_OPT_BIAS")) ? atoi(s) : SCALE / 5;
     g_suff = (s = getenv("ZT_OPT_SUFF")) ? atoi(s) : 0;
-    g_twopass = (s = getenv("ZT_OPT_TWOPASS")) ? atoi(s) : 1;
+    g_twopass = (s = getenv("ZT_OPT_TWOPASS")) ? atoi(s) : 2;
     g_noskip = (s = getenv("ZT_OPT_NOSKIP")) ? atoi(s) : 0;
     g_skipmin = (s = getenv("ZT_OPT_SKIPMIN")) ? atoi(s) : 1;
-    g_skipcap = (s = getenv("ZT_OPT_SKIPCAP")) ? atoi(s) : 0;
+    g_skipcap = (s = getenv("ZT_OPT_SKIPCAP")) ? atoi(s) : 16;
+    g_dbg_pos = (s = getenv("ZT_OPT_DBG_POS")) ? atol(s) : -1;
+    code_tabs_init();
     if (g_nodes_mult < 1) g_nodes_mult = 1;
 }
 
@@ -103,6 +110,24 @@ static inline uint32_t ll_code_exact(uint32_t ll) {
         if (LL_BASE[mid] <= ll) lo = mid; else hi = mid - 1;
     }
     return lo;
+}
+
+/* O(1) code maps (ZSTD_MLcode/ZSTD_LLcode bit-trick role): small values
+ * via a direct table, large ones via highbit + delta. Lazily built from
+ * the exact binary-search versions above; idempotent (safe if raced). */
+static uint8_t ML_CODE_TAB[128], LL_CODE_TAB[64];
+static int g_code_tabs = 0;
+static void code_tabs_init(void) {
+    if (g_code_tabs) return;
+    for (uint32_t i = 0; i < 128; i++) ML_CODE_TAB[i] = (uint8_t)ml_code_exact(i);
+    for (uint32_t i = 0; i < 64; i++) LL_CODE_TAB[i] = (uint8_t)ll_code_exact(i);
+    g_code_tabs = 1;
+}
+static inline uint32_t ml_code(uint32_t mlb) {
+    return mlb < 128 ? ML_CODE_TAB[mlb] : highbit(mlb) + 36;
+}
+static inline uint32_t ll_code(uint32_t ll) {
+    return ll < 64 ? LL_CODE_TAB[ll] : highbit(ll) + 19;
 }
 
 /* ---- price model ----
@@ -203,7 +228,7 @@ static void prices_halve(Prices* P) {
 }
 
 static inline int64_t llp(const Prices* P, uint32_t ll) {
-    return P->ll_price[ll_code_exact(ll)];
+    return P->ll_price[ll_code(ll)];
 }
 
 /* ---- LCP ---- */
@@ -234,7 +259,23 @@ static inline uint32_t hash3(const uint8_t* p) {
     return (v * 506832829u) >> (32 - HASH3_LOG);
 }
 
-typedef struct { uint32_t len; uint32_t dist; } Match;
+/* BT bucket hash over the strategy's minimum-match width (ZSTD_hashPtr
+ * role: the tree groups suffixes by their first `mls` bytes, so the walk
+ * enumerates every match of length >= mls — with mls=3 at the top levels
+ * this is what makes the staircase complete down to 3-byte matches). */
+static inline uint32_t hash_mls(const uint8_t* p, int mls, int hash_log) {
+    if (mls == 3) {
+        uint32_t v = p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16);
+        return ((v << 8) * 506832829u) >> (32 - hash_log);
+    }
+    if (mls == 4) return hash4(p, hash_log);
+    uint64_t v;
+    memcpy(&v, p, 8);
+    v &= (~0ULL) >> (8 * (8 - mls));
+    return (uint32_t)((v * 0xCF1BBCDCBB586158ULL) >> (64 - hash_log));
+}
+
+typedef struct { uint32_t len; uint32_t ob; } Match;
 
 /* ---- DP cells ---- */
 
@@ -290,7 +331,7 @@ typedef struct {
     int32_t* chain;      /* [1<<chain_log] rolling chain (chain mode) */
     Cell* cells;
     int32_t st_ll[ST_MAX], st_ob[ST_MAX], st_ml[ST_MAX];  /* emit stack */
-    int hash_log, bt_log, chain_log, use_bt;
+    int hash_log, bt_log, chain_log, use_bt, mls;
     int inited;
     int64_t ins_until;   /* first position not yet inserted (nextToUpdate) */
     int64_t ntu3;        /* hash3 fill cursor (nextToUpdate3) */
@@ -300,6 +341,18 @@ typedef struct {
 } OptCtx;
 
 void* zt_opt_ctx_new(void) { return calloc(1, sizeof(OptCtx)); }
+
+/* deep-copy matcher tables + statistics from src into dst (the fast
+ * "snapshot before block" primitive behind the iterated keep-min parse:
+ * one clone per block replaces an O(window) tree rewind+refill).
+ * used_hint: highest absolute position inserted so far (the frame cursor);
+ * when the rolling bt buffer hasn't wrapped yet only its used prefix is
+ * copied. Returns 0, or -1 on allocation failure. */
+int zt_opt_ctx_clone(void* dst_v, void* src_v, int64_t used_hint);
+
+/* copy ONLY the running statistics/prices (after pass 1, the snapshot
+ * context gets pass-1's histograms so the re-parse prices from them) */
+void zt_opt_ctx_copy_prices(void* dst_v, void* src_v);
 
 static void opt_ctx_release(OptCtx* x) {
     free(x->head); free(x->head3); free(x->bt); free(x->chain);
@@ -313,37 +366,91 @@ void zt_opt_ctx_free(void* v) {
     free(v);
 }
 
+int zt_opt_ctx_clone(void* dst_v, void* src_v, int64_t used_hint) {
+    OptCtx* d = (OptCtx*)dst_v;
+    OptCtx* s = (OptCtx*)src_v;
+    if (!s->inited) {
+        opt_ctx_release(d);
+        return 0;
+    }
+    size_t head_n = (size_t)1 << s->hash_log;
+    size_t head3_n = (size_t)1 << HASH3_LOG;
+    size_t bt_n = (size_t)2 << s->bt_log;
+    if (!d->inited || d->hash_log != s->hash_log || d->bt_log != s->bt_log
+        || d->mls != s->mls) {
+        opt_ctx_release(d);
+        d->hash_log = s->hash_log;
+        d->bt_log = s->bt_log;
+        d->chain_log = s->chain_log;
+        d->use_bt = 1;
+        d->mls = s->mls;
+        d->head = malloc(head_n * sizeof(int32_t));
+        d->head3 = malloc(head3_n * sizeof(int32_t));
+        d->cells = malloc(sizeof(Cell) * (OPT_CELLS + 2));
+        d->bt = malloc(bt_n * sizeof(int32_t));
+        if (!d->head || !d->head3 || !d->cells || !d->bt) return -1;
+        memset(d->bt, -1, bt_n * sizeof(int32_t));
+        d->inited = 1;
+    }
+    memcpy(d->head, s->head, head_n * sizeof(int32_t));
+    memcpy(d->head3, s->head3, head3_n * sizeof(int32_t));
+    {   /* rolling buffer: copy only the used prefix when it hasn't wrapped */
+        size_t used = (used_hint > 0 && (uint64_t)2 * used_hint < bt_n)
+                          ? (size_t)2 * used_hint + 2 : bt_n;
+        memcpy(d->bt, s->bt, used * sizeof(int32_t));
+    }
+    d->ins_until = s->ins_until;
+    d->ntu3 = s->ntu3;
+    d->last_end = s->last_end;
+    d->P = s->P;
+    d->has_stats = s->has_stats;
+    return 0;
+}
+
+void zt_opt_ctx_copy_prices(void* dst_v, void* src_v) {
+    OptCtx* d = (OptCtx*)dst_v;
+    OptCtx* s = (OptCtx*)src_v;
+    d->P = s->P;
+    d->has_stats = s->has_stats;
+}
+
 /* ---- rolling-buffer suffix binary tree ----
  *
  * Role of zstd_opt.c:590 ZSTD_insertBtAndGetAllMatches / :442
  * ZSTD_insertBt1: each position hangs in a tree ordered by suffix, rooted
- * at its hash-4 bucket; one walk inserts `pos`, re-hooks the path, and
- * (when `out` is non-NULL) collects candidates with strictly increasing
- * length — the walk runs newest-to-oldest, so each recorded length is at
- * its minimum available distance. Child pairs live in a rolling buffer
- * indexed by (pos & btMask): entries older than pos-btMask are recycled,
- * so the walk links such a candidate but never descends into it.
- * Ordering comparisons cap at `iend`; on full equality the candidate is
+ * at its hash-mls bucket; one walk inserts `pos`, re-hooks the path, and
+ * (in search mode) collects candidates with strictly increasing length.
+ * Child pairs live in a rolling buffer indexed by (pos & btMask): entries
+ * older than pos-btMask are recycled, so the walk links such a candidate
+ * but never descends into it. Ordering comparisons cap at `iend` (the
+ * block end, as the reference's does); on full equality the candidate is
  * dropped (subtree pruned) — order would be unknowable, and guessing
- * corrupts the persistent tree. Returns the number of matches; advances
- * X->ins_until past repetitive regions (matchEndIdx - 8 rule + the
- * long-best forward skip). */
-static int bt_search(OptCtx* X, const uint8_t* base, int64_t pos,
-                     int64_t window_low, int64_t iend, int64_t cmp_end,
-                     int nodes, Match* out) {
+ * corrupts the persistent tree.
+ *
+ * Search mode mirrors the reference's enumeration EXACTLY — the optimal
+ * parse is a self-reinforcing feedback loop (emitted sequences feed the
+ * prices that choose the next sequences), so "improved" candidate sets
+ * (suffix-min offsets, extra sub-best candidates) measurably LOSE real
+ * bytes versus mirroring: a single cumulative best length runs across
+ * repcodes -> hash3 -> tree, each recorded match is strictly longer than
+ * everything before it, tree matches always carry offbase dist+3 (never
+ * remapped to a repcode), and a sufficient/block-end rep returns before
+ * `pos` is even inserted. */
+
+/* insert-only walk (ZSTD_insertBt1 role): hangs `pos`, returns nothing;
+ * advances ins_until by the matchEndIdx-8 rule + the long-best skip. */
+static void bt_insert(OptCtx* X, const uint8_t* base, int64_t pos,
+                      int64_t window_low, int64_t iend, int nodes) {
     uint32_t btmask = (1u << X->bt_log) - 1;
-    uint32_t h = hash4(base + pos, X->hash_log);
+    uint32_t h = hash_mls(base + pos, X->mls, X->hash_log);
     int32_t cur = X->head[h];
     X->head[h] = (int32_t)pos;
     int32_t* p_sm = &X->bt[2 * ((uint32_t)pos & btmask)];
     int32_t* p_lg = p_sm + 1;
     uint32_t len_sm = 0, len_lg = 0;
-    int64_t limit = iend - pos;        /* recorded-length cap (block end) */
-    int64_t cmp_limit = cmp_end - pos; /* ordering-comparison horizon */
+    int64_t cmp_limit = iend - pos;
     int64_t bt_low = pos - btmask;
-    int n = 0;
-    uint32_t best = MINMATCH - 1;
-    uint32_t lmax = 8;           /* for the long-best insert skip */
+    uint32_t lmax = 8;
     int64_t mend = pos + 9;      /* matchEndIdx analog */
     while (cur >= 0 && (int64_t)cur < pos && nodes-- > 0) {
         if ((int64_t)cur < window_low) break;
@@ -351,20 +458,8 @@ static int bt_search(OptCtx* X, const uint8_t* base, int64_t pos,
         uint32_t l0 = len_sm < len_lg ? len_sm : len_lg;
         int64_t l = l0 + lcp(base + pos + l0, base + cur + l0,
                              cmp_limit - l0);
-        int64_t lrec = l < limit ? l : limit;
-        if (lrec > (int64_t)lmax) lmax = (uint32_t)lrec;
-        if (cur + lrec > mend) mend = cur + lrec;
-        if (out && lrec >= MINMATCH && (uint32_t)lrec > best) {
-            best = (uint32_t)lrec;
-            if (n < MAX_BT_CAND) {
-                out[n].len = (uint32_t)lrec;
-                out[n].dist = (uint32_t)(pos - cur);
-                n++;
-            } else {             /* keep the longest when saturated */
-                out[n - 1].len = (uint32_t)lrec;
-                out[n - 1].dist = (uint32_t)(pos - cur);
-            }
-        }
+        if (l > (int64_t)lmax) lmax = (uint32_t)l;
+        if (cur + l > mend) mend = cur + l;
         if (l >= cmp_limit) break;  /* order unknowable: drop candidate */
         if (base[cur + l] < base[pos + l]) {
             int32_t nxt = X->bt[ci2 + 1];
@@ -386,108 +481,126 @@ static int bt_search(OptCtx* X, const uint8_t* base, int64_t pos,
     if (p_lg) *p_lg = -1;
     {
         int64_t fwd = mend - 8 - pos;
-        if (!out && lmax > 384) {     /* insert-only long-best skip */
+        if (lmax > 384) {            /* long-best insert skip */
             int64_t e = lmax - 384;
             if (e > 192) e = 192;
             if (e > fwd) fwd = e;
         }
-        /* short-match interiors are worth indexing (they carry distinct
-         * candidates); long-match interiors are the repetitive regions
-         * where per-insert suffix compares turn quadratic — skip those,
-         * but cap each jump so long runs still get sparse inserts */
-        if (fwd <= g_skipmin || g_noskip) fwd = 1;
+        if (fwd < 1 || g_noskip) fwd = 1;
         else if (g_skipcap > 0 && fwd > g_skipcap) fwd = g_skipcap;
         if (pos + fwd > X->ins_until) X->ins_until = pos + fwd;
     }
-    return n;
 }
 
-/* read-only tree walk: collect increasing-length candidates for `pos`
- * WITHOUT inserting it or re-hooking the path. Used inside insertion-
- * skipped regions (self-overlapping runs): the full insert walk there is
- * what turns quadratic, but the candidates the existing tree already
- * holds are free to read. */
-static int bt_peek(OptCtx* X, const uint8_t* base, int64_t pos,
-                   int64_t window_low, int64_t iend, int64_t cmp_end,
-                   int nodes, Match* out) {
-    uint32_t btmask = (1u << X->bt_log) - 1;
-    uint32_t h = hash4(base + pos, X->hash_log);
-    int32_t cur = X->head[h];
-    uint32_t len_sm = 0, len_lg = 0;
-    int64_t limit = iend - pos;
-    int64_t cmp_limit = cmp_end - pos;
-    int64_t bt_low = pos - btmask;
+/* search walk (ZSTD_insertBtAndGetAllMatches role): repcodes, hash3 head,
+ * then the tree; one cumulative best across all three. `out` entries are
+ * (len, offbase) with strictly increasing len. */
+static int bt_all_matches(OptCtx* X, const uint8_t* base, int64_t pos,
+                          int64_t window_low, int64_t iend, int nodes,
+                          const uint32_t* rep, uint32_t ll0, uint32_t suff,
+                          Match* out) {
+    int mm = (X->mls == 3) ? 3 : 4;
     int n = 0;
-    uint32_t best = MINMATCH - 1;
+    uint32_t best = (uint32_t)mm - 1;   /* lengthToBeat - 1 */
+    int64_t limit = iend - pos;
+
+    /* repcodes first (zstd_opt.c:646-686): each must beat the previous */
+    for (uint32_t r = ll0; r < 3 + ll0; r++) {
+        uint32_t d = (r == 3) ? (rep[0] > 1 ? rep[0] - 1 : 0) : rep[r];
+        if (d == 0 || pos - (int64_t)d < window_low) continue;
+        if (memcmp(base + pos, base + pos - d, mm) != 0) continue;
+        uint32_t L = (uint32_t)(mm + lcp(base + pos + mm,
+                                         base + pos - d + mm, limit - mm));
+        if (L > best) {
+            best = L;
+            out[n].len = L;
+            out[n].ob = r - ll0 + 1;
+            n++;
+            if (L > suff || (int64_t)L >= limit)
+                return n;   /* best possible: pos is NOT inserted */
+        }
+    }
+
+    /* single-head 3-byte probe (mls==3 only, no rep found, short range) */
+    if (mm == 3 && best < 3) {
+        while (X->ntu3 < pos) {
+            X->head3[hash3(base + X->ntu3)] = (int32_t)X->ntu3;
+            X->ntu3++;
+        }
+        int32_t c3 = X->head3[hash3(base + pos)];
+        X->head3[hash3(base + pos)] = (int32_t)pos;
+        X->ntu3 = pos + 1;
+        if (c3 >= 0 && c3 >= window_low && (int64_t)c3 < pos
+            && pos - c3 < (1 << 18)) {
+            uint32_t L = (uint32_t)lcp(base + pos, base + c3, limit);
+            if (L >= 3) {
+                best = L;
+                out[0].len = L;
+                out[0].ob = (uint32_t)(pos - c3) + 3;
+                n = 1;
+                if (L > suff || (int64_t)L >= limit) {
+                    /* skip inserting pos entirely (zstd_opt.c:716) */
+                    if (pos + 1 > X->ins_until) X->ins_until = pos + 1;
+                    return 1;
+                }
+            }
+        }
+    }
+
+    /* tree walk: insert pos + collect increasing-length candidates */
+    uint32_t btmask = (1u << X->bt_log) - 1;
+    uint32_t h = hash_mls(base + pos, X->mls, X->hash_log);
+    int32_t cur = X->head[h];
+    X->head[h] = (int32_t)pos;
+    int32_t* p_sm = &X->bt[2 * ((uint32_t)pos & btmask)];
+    int32_t* p_lg = p_sm + 1;
+    uint32_t len_sm = 0, len_lg = 0;
+    int64_t bt_low = pos - btmask;
+    int64_t mend = pos + 9;      /* matchEndIdx analog */
     while (cur >= 0 && (int64_t)cur < pos && nodes-- > 0) {
         if ((int64_t)cur < window_low) break;
         int64_t ci2 = 2 * (int64_t)((uint32_t)cur & btmask);
         uint32_t l0 = len_sm < len_lg ? len_sm : len_lg;
-        int64_t l = l0 + lcp(base + pos + l0, base + cur + l0,
-                             cmp_limit - l0);
-        int64_t lrec = l < limit ? l : limit;
-        if (lrec >= MINMATCH && (uint32_t)lrec > best) {
-            best = (uint32_t)lrec;
-            if (n < MAX_BT_CAND) {
-                out[n].len = (uint32_t)lrec;
-                out[n].dist = (uint32_t)(pos - cur);
-                n++;
-            } else {
-                out[n - 1].len = (uint32_t)lrec;
-                out[n - 1].dist = (uint32_t)(pos - cur);
-            }
-        }
-        if (l >= cmp_limit) break;
-        if ((int64_t)cur <= bt_low) break;
-        if (base[cur + l] < base[pos + l]) {
-            len_sm = (uint32_t)l;
-            cur = X->bt[ci2 + 1];
-        } else {
-            len_lg = (uint32_t)l;
-            cur = X->bt[ci2];
-        }
-    }
-    return n;
-}
-
-/* ---- rolling hash chain (non-bt strategies via the DP override) ---- */
-
-static inline void chain_insert(OptCtx* X, const uint8_t* base, int64_t pos) {
-    uint32_t cmask = (1u << X->chain_log) - 1;
-    uint32_t h = hash4(base + pos, X->hash_log);
-    X->chain[(uint32_t)pos & cmask] = X->head[h];
-    X->head[h] = (int32_t)pos;
-}
-
-static int chain_search(OptCtx* X, const uint8_t* base, int64_t pos,
-                        int64_t window_low, int64_t iend, int attempts,
-                        Match* out) {
-    uint32_t cmask = (1u << X->chain_log) - 1;
-    int64_t reach_low = pos - cmask;
-    if (window_low > reach_low) reach_low = window_low;
-    uint32_t h = hash4(base + pos, X->hash_log);
-    int32_t cand = X->head[h];
-    int64_t limit = iend - pos;
-    int n = 0;
-    uint32_t best = MINMATCH;    /* chains provide len >= 4 */
-    while (cand >= 0 && cand >= reach_low && (int64_t)cand < pos &&
-           attempts-- > 0) {
-        int64_t l = lcp(base + pos, base + cand, limit);
-        if ((uint32_t)l > best) {
+        int64_t l = l0 + lcp(base + pos + l0, base + cur + l0, limit - l0);
+        if (l > (int64_t)best) {
             best = (uint32_t)l;
-            if (n < MAX_BT_CAND) {
+            if (cur + l > mend) mend = cur + l;
+            if (n < MAX_CAND) {
                 out[n].len = (uint32_t)l;
-                out[n].dist = (uint32_t)(pos - cand);
+                out[n].ob = (uint32_t)(pos - cur) + 3;
                 n++;
+            } else {             /* keep the longest when saturated */
+                out[n - 1].len = (uint32_t)l;
+                out[n - 1].ob = (uint32_t)(pos - cur) + 3;
             }
-            if (l >= limit) break;
+            if (l >= limit)
+                break;           /* reached block end: order unknowable */
         }
-        int32_t nxt = X->chain[(uint32_t)cand & cmask];
-        if (nxt >= cand) break;  /* recycled slot: older history is gone */
-        cand = nxt;
+        if (l >= limit) break;
+        if (base[cur + l] < base[pos + l]) {
+            int32_t nxt = X->bt[ci2 + 1];
+            *p_sm = cur;
+            if ((int64_t)cur <= bt_low) { p_sm = NULL; break; }
+            p_sm = &X->bt[ci2 + 1];
+            len_sm = (uint32_t)l;
+            cur = nxt;
+        } else {
+            int32_t nxt = X->bt[ci2];
+            *p_lg = cur;
+            if ((int64_t)cur <= bt_low) { p_lg = NULL; break; }
+            p_lg = &X->bt[ci2];
+            len_lg = (uint32_t)l;
+            cur = nxt;
+        }
     }
-    chain_insert(X, base, pos);
-    if (pos + 1 > X->ins_until) X->ins_until = pos + 1;
+    if (p_sm) *p_sm = -1;
+    if (p_lg) *p_lg = -1;
+    {
+        int64_t fwd = mend - 8 - pos;
+        if (fwd < 1 || g_noskip) fwd = 1;
+        else if (g_skipcap > 0 && fwd > g_skipcap) fwd = g_skipcap;
+        if (pos + fwd > X->ins_until) X->ins_until = pos + fwd;
+    }
     return n;
 }
 
@@ -496,38 +609,30 @@ static int chain_search(OptCtx* X, const uint8_t* base, int64_t pos,
 static int opt_ctx_ensure(OptCtx* x, const uint8_t* base, int64_t window_low,
                           int64_t block_start, int64_t block_end,
                           int64_t cmp_end,
-                          int hash_log, int chain_log, int use_bt,
+                          int hash_log, int chain_log, int mls,
                           int nodes) {
     size_t head_n = (size_t)1 << hash_log;
     size_t head3_n = (size_t)1 << HASH3_LOG;
     int bt_log = chain_log - 1;
     if (bt_log < 10) bt_log = 10;
-    int fresh = !x->inited || x->use_bt != use_bt ||
-                x->hash_log != hash_log ||
-                (use_bt ? x->bt_log != bt_log : x->chain_log != chain_log) ||
-                block_start < x->last_end;
+    int fresh = !x->inited || x->hash_log != hash_log || x->mls != mls ||
+                x->bt_log != bt_log || block_start < x->last_end;
     if (fresh) {
         opt_ctx_release(x);
         x->hash_log = hash_log;
         x->bt_log = bt_log;
         x->chain_log = chain_log;
-        x->use_bt = use_bt;
+        x->use_bt = 1;
+        x->mls = mls;
         x->head = malloc(head_n * sizeof(int32_t));
         x->head3 = malloc(head3_n * sizeof(int32_t));
         x->cells = malloc(sizeof(Cell) * (OPT_CELLS + 2));
-        if (use_bt)
-            x->bt = malloc(((size_t)2 << bt_log) * sizeof(int32_t));
-        else
-            x->chain = malloc(((size_t)1 << chain_log) * sizeof(int32_t));
-        if (!x->head || !x->head3 || !x->cells ||
-            (use_bt ? !x->bt : !x->chain))
+        x->bt = malloc(((size_t)2 << bt_log) * sizeof(int32_t));
+        if (!x->head || !x->head3 || !x->cells || !x->bt)
             return -1;
         memset(x->head, -1, head_n * sizeof(int32_t));
         memset(x->head3, -1, head3_n * sizeof(int32_t));
-        if (use_bt)
-            memset(x->bt, -1, ((size_t)2 << bt_log) * sizeof(int32_t));
-        else
-            memset(x->chain, -1, ((size_t)1 << chain_log) * sizeof(int32_t));
+        memset(x->bt, -1, ((size_t)2 << bt_log) * sizeof(int32_t));
         x->ins_until = window_low;
         x->ntu3 = window_low;
         memset(&x->P, 0, sizeof(x->P));
@@ -542,17 +647,13 @@ static int opt_ctx_ensure(OptCtx* x, const uint8_t* base, int64_t window_low,
         x->head3[hash3(base + x->ntu3)] = (int32_t)x->ntu3;
         x->ntu3++;
     }
-    if (use_bt) {
-        while (x->ins_until + 8 <= block_start)
-            bt_search(x, base, x->ins_until, window_low, block_end,
-                      cmp_end, nodes, NULL);
-    } else {
-        while (x->ins_until + 8 <= block_start) {
-            chain_insert(x, base, x->ins_until);
-            x->ins_until++;
-        }
-    }
-    if (block_start > x->ins_until) x->ins_until = block_start;
+    while (x->ins_until < block_start)
+        bt_insert(x, base, x->ins_until, window_low, block_end, nodes);
+    /* clamp BOTH directions: the reference's ZSTD_updateTree_internal sets
+     * nextToUpdate = target unconditionally, so a long-best catch-up
+     * overshoot never turns the block head into a skipped area (that bug
+     * cost ~100 leading literal bytes per block in duplicated regions) */
+    x->ins_until = block_start;
     return 0;
 }
 
@@ -624,8 +725,8 @@ static void seed_stats(const uint8_t* base, int64_t bs, int64_t be,
                 for (int64_t q = anchor; q < ip; q++) P->lit[base[q]]++;
                 P->lit_tot += ll;
             }
-            P->llc[ll_code_exact(ll)]++; P->ll_tot++;
-            P->mlc[ml_code_exact(bl - MINMATCH)]++; P->ml_tot++;
+            P->llc[ll_code(ll)]++; P->ll_tot++;
+            P->mlc[ml_code(bl - MINMATCH)]++; P->ml_tot++;
             P->ofc[highbit(ob)]++; P->of_tot++;
             uint32_t nr[3]; rep_update(rep, ob, ll, nr);
             rep[0] = nr[0]; rep[1] = nr[1]; rep[2] = nr[2];
@@ -650,8 +751,8 @@ static inline int emit_seq(OptCtx* X, const uint8_t* base, int64_t lit_pos,
     for (uint32_t q = 0; q < ll; q++)
         P->lit[base[lit_pos + q]] += LITFREQ_ADD;
     P->lit_tot += ll * LITFREQ_ADD;
-    P->llc[ll_code_exact(ll)]++; P->ll_tot++;
-    P->mlc[ml_code_exact(ml - MINMATCH)]++; P->ml_tot++;
+    P->llc[ll_code(ll)]++; P->ll_tot++;
+    P->mlc[ml_code(ml - MINMATCH)]++; P->ml_tot++;
     P->ofc[highbit(ob)]++; P->of_tot++;
     ll_out[*p_nseq] = (int32_t)ll;
     ob_out[*p_nseq] = (int32_t)ob;
@@ -714,60 +815,20 @@ static int64_t opt_core(OptCtx* X,
                         uint32_t* reps,
                         int32_t* ll_out, int32_t* ob_out, int32_t* mb_out,
                         int64_t seq_cap,
-                        int nodes, uint32_t suff, int use_bt) {
+                        int nodes, uint32_t suff) {
     Prices* P = &X->P;
     Cell* cells = X->cells;
-    Match m[MAX_BT_CAND];
-    struct { uint32_t len; uint32_t ob; int64_t ofp; } cand[MAX_CAND];
-    int64_t best_ofp[MAX_CAND + 1];
-    uint32_t best_ob[MAX_CAND + 1];
+    Match m[MAX_CAND];
+    (void)cmp_end;
 
     int64_t ip = block_start, anchor = block_start;
     int64_t nseq = 0;
     uint32_t cur_rep[3] = {reps[0], reps[1], reps[2]};
     int opt_level = P->opt_level;
+    int mm = (X->mls == 3) ? 3 : 4;   /* strategy minimum match length */
 
-    /* collect rep + hash3 candidates at `pos` pricing from cell `c`;
-     * bumps nc, updates *p_maxlen / *p_maxob with the longest one */
-    #define GATHER_CANDS(c, pos, limit, nc, p_maxlen, p_maxob) do {       \
-        uint32_t ll0_ = ((c)->litrun == 0);                               \
-        for (int r_ = 0; r_ < 3; r_++) {                                  \
-            uint32_t d_;                                                  \
-            if (!ll0_) d_ = (c)->rep[r_];                                 \
-            else d_ = (r_ == 0) ? (c)->rep[1] : (r_ == 1) ? (c)->rep[2]   \
-                              : ((c)->rep[0] > 1 ? (c)->rep[0] - 1 : 0);  \
-            if (d_ == 0 || (pos) - (int64_t)d_ < window_low) continue;    \
-            if (memcmp(base + (pos), base + (pos) - d_, 3) != 0) continue;\
-            uint32_t L_ = (uint32_t)(3 + lcp(base + (pos) + 3,            \
-                                             base + (pos) - d_ + 3,       \
-                                             (limit) - 3));               \
-            uint32_t ob_ = (uint32_t)r_ + 1;                              \
-            cand[nc].len = L_; cand[nc].ob = ob_;                         \
-            cand[nc].ofp = P->of_price[highbit(ob_)];                     \
-            (nc)++;                                                       \
-            if (L_ > *(p_maxlen)) { *(p_maxlen) = L_; *(p_maxob) = ob_; } \
-        }                                                                 \
-        while (X->ntu3 < (pos)) {                                         \
-            X->head3[hash3(base + X->ntu3)] = (int32_t)X->ntu3;           \
-            X->ntu3++;                                                    \
-        }                                                                 \
-        int32_t c3_ = X->head3[hash3(base + (pos))];                      \
-        X->head3[hash3(base + (pos))] = (int32_t)(pos);                   \
-        X->ntu3 = (pos) + 1;                                              \
-        if (c3_ >= 0 && c3_ >= window_low && (int64_t)c3_ < (pos)) {      \
-            uint32_t L_ = (uint32_t)lcp(base + (pos), base + c3_, limit); \
-            if (L_ >= MINMATCH && L_ > *(p_maxlen)) {                     \
-                uint32_t ob_ = off_base((uint32_t)((pos) - c3_),          \
-                                        (c)->litrun, (c)->rep);           \
-                cand[nc].len = L_; cand[nc].ob = ob_;                     \
-                cand[nc].ofp = P->of_price[highbit(ob_)];                 \
-                (nc)++;                                                   \
-                *(p_maxlen) = L_; *(p_maxob) = ob_;                       \
-            }                                                             \
-        }                                                                 \
-    } while (0)
 
-    while (ip + 12 < block_end) {
+    while (ip + 8 < block_end) {   /* ilimit = iend - 8 (zstd_opt.c:1118) */
         /* ---- one DP chunk starting at ip ---- */
         cells[0].price = 0;
         cells[0].ml = 0;
@@ -839,7 +900,7 @@ static int64_t opt_core(OptCtx* X,
                     }
                 }
             }
-            if (pos + 8 >= block_end) continue;
+            if (pos + 8 > block_end) continue;   /* inr > ilimit */
             /* the frontier cell doesn't extend the series — the next
              * series' head search covers it (zstd_opt.c:1268) */
             if (cur == last_pos && cur > 0) break;
@@ -849,100 +910,84 @@ static int64_t opt_core(OptCtx* X,
                 && cells[cur + 1].price <= c->price + SCALE / 2)
                 continue;
 
-            int64_t limit = block_end - pos;
-            int nc = 0;
-            uint32_t maxlen = 0, max_ob = 0;
-            GATHER_CANDS(c, pos, limit, nc, &maxlen, &max_ob);
+            /* skipped area: nextToUpdate was advanced past pos by the
+             * matchEndIdx-8 / long-best rules — the reference finds NO
+             * candidates here at all (ZSTD_btGetAllMatches_internal
+             * skipped-area return), not even repcodes */
+            if (pos < X->ins_until) continue;
 
-            /* huge rep/near match: commit immediately, skip the BT walk
-             * (zstd_opt.c:716 skip-insertion rule) */
-            if (maxlen > suff || cur + maxlen >= OPT_CELLS - 2) {
-                if (pos + 1 > X->ins_until) X->ins_until = pos + 1;
+            /* close any insertion gap left by an early-accept jump
+             * (ZSTD_updateTree_internal catch-up); an overshoot still
+             * searches at pos (updateTree clamps back to the target) */
+            while (X->ins_until < pos)
+                bt_insert(X, base, X->ins_until, window_low, block_end,
+                          nodes);
+            if (X->ins_until > pos) X->ins_until = pos;
+
+            int64_t limit = block_end - pos;
+            int nc = bt_all_matches(X, base, pos, window_low, block_end,
+                                    nodes, c->rep, c->litrun == 0, suff, m);
+            if (g_dbg_pos >= 0 && pos >= g_dbg_pos - 16 && pos <= g_dbg_pos) {
+                fprintf(stderr, "[dbg] pos=%ld cur=%ld ll0=%d rep=%u,%u,%u "
+                        "ins_until=%ld nc=%d:", (long)pos, (long)cur,
+                        c->litrun == 0, c->rep[0], c->rep[1], c->rep[2],
+                        (long)X->ins_until, nc);
+                for (int k = 0; k < nc; k++)
+                    fprintf(stderr, " (l=%u,ob=%u)", m[k].len, m[k].ob);
+                fprintf(stderr, "\n");
+            }
+            if (nc == 0) continue;
+            uint32_t maxlen = m[nc - 1].len, max_ob = m[nc - 1].ob;
+
+            /* sufficient-length / block-end / horizon-overflow match:
+             * commit immediately (zstd_opt.c:1160,:1283 early accepts;
+             * the head only tests sufficient_len, :1157) */
+            if (maxlen > suff
+                || (cur > 0 && ((int64_t)maxlen >= limit
+                                || cur + maxlen >= OPT_CELLS - 2))) {
                 commit_end = cur; force_ml = maxlen; force_ob = max_ob;
                 break;
             }
 
-            /* tree / chain matches; first close any insertion gap left by
-             * an early-accept jump (ZSTD_updateTree_internal catch-up) */
-            if (use_bt) {
-                while (X->ins_until < pos)
-                    bt_search(X, base, X->ins_until, window_low, block_end,
-                              cmp_end, nodes, NULL);
-            } else {
-                while (X->ins_until < pos) {
-                    chain_insert(X, base, X->ins_until);
-                    X->ins_until++;
-                }
-            }
-            if (pos >= X->ins_until || use_bt) {
-                int nm = !use_bt
-                    ? chain_search(X, base, pos, window_low, block_end,
-                                   nodes, m)
-                    : (pos >= X->ins_until
-                       ? bt_search(X, base, pos, window_low, block_end,
-                                   cmp_end, nodes, m)
-                       /* skipped region: candidates without insertion */
-                       : bt_peek(X, base, pos, window_low, block_end,
-                                 cmp_end, nodes, m));
-                for (int k = 0; k < nm; k++) {
-                    uint32_t ob = off_base(m[k].dist, c->litrun, c->rep);
-                    cand[nc].len = m[k].len; cand[nc].ob = ob;
-                    cand[nc].ofp = P->of_price[highbit(ob)];
-                    nc++;
-                    if (m[k].len > maxlen) { maxlen = m[k].len; max_ob = ob; }
-                }
-                if (maxlen > suff || cur + maxlen >= OPT_CELLS - 2) {
-                    commit_end = cur; force_ml = maxlen; force_ob = max_ob;
-                    break;
-                }
-            }
-            if (nc == 0) continue;
-
-            /* merged staircase: for each length, the cheapest offset code
-             * among candidates reaching it (suffix-min over len-sorted) */
-            for (int a = 1; a < nc; a++) {   /* insertion sort by len */
-                __typeof__(cand[0]) key = cand[a];
-                int b = a - 1;
-                while (b >= 0 && cand[b].len > key.len) {
-                    cand[b + 1] = cand[b];
-                    b--;
-                }
-                cand[b + 1] = key;
-            }
-            best_ofp[nc - 1] = cand[nc - 1].ofp;
-            best_ob[nc - 1] = cand[nc - 1].ob;
-            for (int a = nc - 2; a >= 0; a--) {
-                if (cand[a].ofp <= best_ofp[a + 1]) {
-                    best_ofp[a] = cand[a].ofp;
-                    best_ob[a] = cand[a].ob;
-                } else {
-                    best_ofp[a] = best_ofp[a + 1];
-                    best_ob[a] = best_ob[a + 1];
-                }
-            }
-            while (hi_init < cur + maxlen + 1) {
-                hi_init++;
-                cells[hi_init].price = PINF;
-                cells[hi_init].ml = 0;
-                cells[hi_init].litrun = 1;
-            }
+            /* price each match's length range [prev_len+1 .. len] with its
+             * own offset, scanning downward with the btopt early abort
+             * (zstd_opt.c:1300-1332) */
             int64_t mbase = c->price + P->ll_price[0] + g_bias;
-            int idx = 0;
-            for (uint32_t l = MINMATCH; l <= maxlen; l++) {
-                while (cand[idx].len < l) idx++;
-                int64_t np = mbase + best_ofp[idx]
-                             + P->ml_price[ml_code_exact(l - MINMATCH)];
-                Cell* t = &cells[cur + l];
-                if (np < t->price) {
-                    t->price = np;
-                    t->ml = l;
-                    t->ob = best_ob[idx];
-                    t->litrun = 0;
-                    /* offset history resolved lazily at visit time */
+            for (int k = 0; k < nc; k++) {
+                uint32_t ob = m[k].ob;
+                int64_t ofp = P->of_price[highbit(ob)];
+                uint32_t lastML = m[k].len;
+                uint32_t startML = k > 0 ? m[k - 1].len + 1 : (uint32_t)mm;
+                for (uint32_t l = lastML; l >= startML; l--) {
+                    int64_t p_ = cur + l;
+                    int64_t np = mbase + ofp
+                                 + P->ml_price[ml_code(l - MINMATCH)];
+                    if (p_ > last_pos || np < cells[p_].price) {
+                        while (last_pos < p_) {
+                            last_pos++;
+                            if (hi_init < last_pos) {
+                                hi_init = last_pos;
+                                cells[last_pos].price = PINF;
+                                cells[last_pos].ml = 0;
+                                cells[last_pos].litrun = 1;
+                            }
+                        }
+                        Cell* t = &cells[p_];
+                        if (g_dbg_pos >= 0 && ip + p_ == g_dbg_pos)
+                            fprintf(stderr, "[fill] tgt=%ld from pos=%ld "
+                                    "l=%u ob=%u np=%ld old=%ld\n",
+                                    (long)(ip + p_), (long)pos, l, ob,
+                                    (long)np, (long)t->price);
+                        t->price = np;
+                        t->ml = l;
+                        t->ob = ob;
+                        t->litrun = 0;
+                        /* offset history resolved lazily at visit time */
+                    } else if (opt_level == 0) {
+                        break;   /* early update abort (~+10% speed) */
+                    }
                 }
             }
-            if (cur + (int64_t)maxlen > last_pos)
-                last_pos = cur + (int64_t)maxlen;
         }
 
         /* ---- commit the chunk ---- */
@@ -982,7 +1027,6 @@ static int64_t opt_core(OptCtx* X,
      * count (ZSTD_updateStats is never called on the block tail) */
     reps[0] = cur_rep[0]; reps[1] = cur_rep[1]; reps[2] = cur_rep[2];
     return nseq;
-    #undef GATHER_CANDS
 }
 
 /* ---- the parser ---- */
@@ -996,7 +1040,6 @@ int64_t zt_opt_parse_ctx(void* vctx,
                          int64_t seq_cap,
                          int hash_log, int search_log, int min_match,
                          int target_len, int strategy) {
-    (void)min_match;
     if (src_end < block_end) src_end = block_end;
     int64_t n = block_end - block_start;
     if (n < 16) return 0;
@@ -1009,22 +1052,23 @@ int64_t zt_opt_parse_ctx(void* vctx,
         if (search_log < 7) search_log = 7;
         if (hash_log < 17) hash_log = 17;
         if (target_len < 256) target_len = 256;
+        min_match = 3;
     }
     if (hash_log > 24) hash_log = 24;
     if (hash_log < 12) hash_log = 12;
+    int mls = min_match < 3 ? 3 : (min_match > 6 ? 6 : min_match);
     int chain_log = hash_log + 2;         /* bt reach; see btMask */
     if (chain_log > 26) chain_log = 26;
     read_knobs();
     int nodes = g_nodes_mult
         << (search_log < 3 ? 3 : (search_log > 12 ? 12 : search_log));
-    int use_bt = (strategy >= 6);
     uint32_t suff = (uint32_t)(target_len >= 16 ? target_len : 16);
     if (g_suff > 0) suff = (uint32_t)g_suff;
     if (suff > OPT_CELLS - 128) suff = OPT_CELLS - 128;
 
     OptCtx* X = (OptCtx*)vctx;
     if (opt_ctx_ensure(X, base, window_low, block_start, block_end,
-                       src_end, hash_log, chain_log, use_bt, nodes) < 0)
+                       src_end, hash_log, chain_log, mls, nodes) < 0)
         return -1;
 
     Prices* P = &X->P;
@@ -1051,15 +1095,10 @@ int64_t zt_opt_parse_ctx(void* vctx,
             uint32_t reps_a[3] = {reps[0], reps[1], reps[2]};
             (void)opt_core(X, base, window_low, block_start, block_end,
                            src_end, reps_a, ll_out, ob_out, mb_out, seq_cap,
-                           nodes, suff, use_bt);
+                           nodes, suff);
             memset(X->head, -1, ((size_t)1 << X->hash_log) * sizeof(int32_t));
             memset(X->head3, -1, ((size_t)1 << HASH3_LOG) * sizeof(int32_t));
-            if (use_bt)
-                memset(X->bt, -1,
-                       ((size_t)2 << X->bt_log) * sizeof(int32_t));
-            else
-                memset(X->chain, -1,
-                       ((size_t)1 << X->chain_log) * sizeof(int32_t));
+            memset(X->bt, -1, ((size_t)2 << X->bt_log) * sizeof(int32_t));
             X->ins_until = window_low;
             X->ntu3 = window_low;
             /* re-index any window prefix (dictionary) */
@@ -1067,17 +1106,10 @@ int64_t zt_opt_parse_ctx(void* vctx,
                 X->head3[hash3(base + X->ntu3)] = (int32_t)X->ntu3;
                 X->ntu3++;
             }
-            if (use_bt) {
-                while (X->ins_until + 8 <= block_start)
-                    bt_search(X, base, X->ins_until, window_low, block_end,
-                              src_end, nodes, NULL);
-            } else {
-                while (X->ins_until + 8 <= block_start) {
-                    chain_insert(X, base, X->ins_until);
-                    X->ins_until++;
-                }
-            }
-            if (block_start > X->ins_until) X->ins_until = block_start;
+            while (X->ins_until < block_start)
+                bt_insert(X, base, X->ins_until, window_low, block_end,
+                          nodes);
+            X->ins_until = block_start;   /* updateTree clamp */
             prices_halve(P);   /* pass B rescales pass A's statistics */
         }
     } else {
@@ -1085,8 +1117,7 @@ int64_t zt_opt_parse_ctx(void* vctx,
     }
     prices_rebuild(P);
     return opt_core(X, base, window_low, block_start, block_end, src_end,
-                    reps, ll_out, ob_out, mb_out, seq_cap, nodes, suff,
-                    use_bt);
+                    reps, ll_out, ob_out, mb_out, seq_cap, nodes, suff);
 }
 
 /* single-shot compatibility wrapper (tests / no-ctx callers) */

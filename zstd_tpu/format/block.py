@@ -41,6 +41,8 @@ class BlockCState:
     opt_ctx: object = None
     # persistent fast-class hash table (int32 positions, zstd_fast role)
     fast_table: object = None
+    # snapshot context for the iterated keep-min optimal parse (levels 19+)
+    opt_ctx_b: object = None
 
 
 @dataclasses.dataclass
@@ -131,7 +133,7 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
             return bytes(src[:1]), 1, state
         return raw
 
-    nxt = BlockCState(next_huf, next_fse, new_reps, state.opt_ctx, state.fast_table)
+    nxt = BlockCState(next_huf, next_fse, new_reps, state.opt_ctx, state.fast_table, state.opt_ctx_b)
     return payload, 2, nxt
 
 
@@ -232,9 +234,6 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
     if n < MIN_MATCH + 1 + 8:
         return raw_piece, state
 
-    seqs, new_reps = _find_block_sequences(full, block_start, block_end,
-                                           window_low, state, cparams,
-                                           ldm_ctx)
     strategy = cparams.strategy
 
     def encode(sub, st, clen, suspect):
@@ -244,20 +243,48 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         seq_section, next_fse = write_sequences_section(sub, st.fse, strategy)
         return lit_section + seq_section, next_huf, next_fse
 
-    num_seq = seqs.nb_seq
-    num_lit = len(seqs.literals)
-    suspect = (num_seq == 0) or (num_lit // max(num_seq, 1) >= 20)
-    try:
-        whole_payload, whole_huf, whole_fse = encode(seqs, state, n, suspect)
-    except _EmitRawBlock:
+    # Iterated keep-min optimal parse (levels 19+): two candidate parses of
+    # the same block — the chained-statistics pass and a self-seeded
+    # re-parse — sized EXACTLY here; the smaller encode wins and its
+    # matcher context chains forward. ZSTD_TPU_OPT_ITER=0 disables.
+    import os as _os
+    candidates = None
+    if (_SEQ_PRODUCER is None and ldm_ctx is None and strategy >= 9
+            and _os.environ.get("ZSTD_TPU_OPT_ITER", "1") != "0"
+            and _os.environ.get("ZSTD_TPU_HOST_PARSER", "") in ("", "dp")):
+        from .opt import find_sequences_opt_dual
+        candidates = find_sequences_opt_dual(
+            full, block_start, block_end, window_low, state.reps, cparams,
+            state)
+    if candidates is None:
+        seqs, new_reps = _find_block_sequences(full, block_start, block_end,
+                                               window_low, state, cparams,
+                                               ldm_ctx)
+        candidates = [(seqs, new_reps, lambda: None)]
+
+    best = None
+    for sq, rp, commit in candidates:
+        nseq_c = sq.nb_seq
+        nlit_c = len(sq.literals)
+        susp = (nseq_c == 0) or (nlit_c // max(nseq_c, 1) >= 20)
+        try:
+            pay, nh, nf = encode(sq, state, n, susp)
+        except _EmitRawBlock:
+            continue
+        # ties prefer the earlier candidate (chained-statistics continuity)
+        if best is None or len(pay) < len(best[0]):
+            best = (pay, nh, nf, sq, rp, commit)
+    if best is None:
         return raw_piece, state
+    whole_payload, whole_huf, whole_fse, seqs, new_reps, commit = best
+    commit()
     max_c_size = n - _min_gain(n, strategy)
     if len(whole_payload) >= max_c_size:
         if n > 1 and (src == src[0]).all():
             return [(bytes(src[:1]), BT_RLE, n)], state
         return raw_piece, state
     whole = ([(whole_payload, BT_COMPRESSED, n)],
-             BlockCState(whole_huf, whole_fse, new_reps, state.opt_ctx, state.fast_table))
+             BlockCState(whole_huf, whole_fse, new_reps, state.opt_ctx, state.fast_table, state.opt_ctx_b))
 
     if n < 32768 and not target_cblock_size:
         return whole
@@ -311,14 +338,57 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
             if len(payload) >= clen:
                 return whole
             pieces.append((payload, BT_COMPRESSED, clen))
-            st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table)
+            st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
             total += clen
             a = b
-        return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table)
-    pts = split_points(seqs, target_cblock_size=target_cblock_size)
-    if not pts:
-        return whole
-    bounds = [0] + pts + [seqs.nb_seq]
+        return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
+    if strategy >= 7:
+        # btopt class: EXACT recursive dyadic split search with entropy-
+        # state chaining (the reference accepts splits from fresh-table
+        # estimates, ZSTD_deriveBlockSplitsHelper zstd_compress.c:4139;
+        # we can afford exact sizing here — each level's encodes sum to
+        # one whole-block encode, so depth 4 costs ~5x the entropy stage,
+        # negligible next to the optimal parse). Always <= whole by
+        # construction.
+        nb = seqs.nb_seq
+
+        def _enc_seg(a, b, stt):
+            sub = slice_seqstore(seqs, a, b, b == nb)
+            lit_s, nh = compress_literals(
+                sub.literals, stt.huf, strategy, disable=False,
+                suspect_uncompressible=False)
+            seq_s, nf = write_sequences_section(sub, stt.fse, strategy)
+            return len(lit_s) + len(seq_s), BlockCState(
+                nh, nf, stt.reps, stt.opt_ctx, stt.fast_table)
+
+        def _best(a, b, stt, depth):
+            try:
+                w, stw = _enc_seg(a, b, stt)
+            except _EmitRawBlock:
+                return None
+            if depth >= 4 or b - a < 300:
+                return w + 3, stw, [(a, b)]
+            mid = (a + b) // 2
+            left = _best(a, mid, stt, depth + 1)
+            if left is not None:
+                lsz, stl, segl = left
+                right = _best(mid, b, stl, depth + 1)
+                if right is not None:
+                    rsz, str_, segr = right
+                    if lsz + rsz < w + 3:
+                        return lsz + rsz, str_, segl + segr
+            return w + 3, stw, [(a, b)]
+
+        res = _best(0, nb, state, 0)
+        if res is None or len(res[2]) == 1:
+            return whole
+        bounds = [a for a, _ in res[2]] + [nb]
+        pts = bounds[1:-1]
+    else:
+        pts = split_points(seqs, target_cblock_size=target_cblock_size)
+        if not pts:
+            return whole
+        bounds = [0] + pts + [seqs.nb_seq]
     pieces = []
     st = state
     total = 0
@@ -334,14 +404,14 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         if len(payload) >= clen:
             return whole
         pieces.append((payload, BT_COMPRESSED, clen))
-        st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table)
+        st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
         total += clen
     if (not target_cblock_size
             and sum(len(p) for p, _, _ in pieces) >= len(whole_payload)):
         # entropy-driven splitting must pay for itself; target-size
         # (superblock) splitting buys latency instead and keeps the split
         return whole
-    return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table)
+    return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
 
 
 def decompress_block(payload: bytes, out: bytearray, window_low: int,

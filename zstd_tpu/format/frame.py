@@ -242,8 +242,16 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
     n += p0
     while pos < n:
         end = min(pos + block_size, n)
-        if not split_full and end - pos >= 32768:
-            pts = _split_points(full, pos, end)
+        if end - pos >= 32768:
+            # content-divergence pre-split applies at EVERY level (the
+            # reference runs ZSTD_splitBlock before block compression at
+            # high levels too — it is what phase-shifts the block grid onto
+            # content transitions, e.g. a duplicated-region boundary).
+            # Slow levels demand a stronger divergence: their seqstore
+            # splitter already handles mild mixtures exactly, and a false
+            # cut costs more than it saves.
+            pts = _split_points(full, pos, end,
+                                threshold=0.45 if split_full else 0.35)
             if pts:
                 end = pts[0]
         last_region = end == n

@@ -72,24 +72,40 @@ def _rle_literals(lit: bytes) -> bytes:
 
 
 def _huf_compress(lit: bytes, single_stream: bool, prev: HufEntropyState,
-                  prefer_repeat: bool) -> tuple[bytes | int, huffman.HufCTable | None, bool]:
+                  prefer_repeat: bool
+                  ) -> tuple[bytes | int, huffman.HufCTable | None, bool, bool]:
     """HUF_compress_internal.
 
-    Returns (payload | 0 | 1, new_table_or_None, used_repeat).
+    Returns (payload | 0 | 1, new_table_or_None, used_repeat, used_single).
     0 => not compressible; 1 => single-symbol RLE signal.
     used_repeat True means the previous table was reused (treeless block).
+    used_single True means the payload is a one-stream encode — when the
+    4-stream format is requested and the source fits the 1-stream header
+    (n <= 1023), both are encoded exactly and the smaller wins (the
+    reference picks by the n<256 heuristic only).
     """
     n = len(lit)
     if n == 0:
-        return 0, None, False
+        return 0, None, False, single_stream
     arr = np.frombuffer(lit, dtype=np.uint8)
     count = np.bincount(arr, minlength=256).astype(np.int64)
     max_symbol = int(arr.max())
     largest = int(count.max())
     if largest == n:
-        return 1, None, False
+        return 1, None, False, single_stream
     if largest <= (n >> 7) + 4:
-        return 0, None, False
+        return 0, None, False, single_stream
+
+    def encode_best(table):
+        """Encode in the requested mode; for 4-stream sources that also fit
+        the 1-stream header, encode both and keep the smaller."""
+        out = _encode_streams(lit, table, single_stream)
+        used1 = single_stream
+        if not single_stream and n <= 1023:
+            alt = _encode_streams(lit, table, True)
+            if alt is not None and (out is None or len(alt) < len(out)):
+                out, used1 = alt, True
+        return out, used1
 
     repeat = prev.repeat
     old = prev.ctable
@@ -97,10 +113,10 @@ def _huf_compress(lit: bytes, single_stream: bool, prev: HufEntropyState,
                                       not huffman.huf_validate_ctable(old, count, max_symbol)):
         repeat = HufRepeat.NONE
     if prefer_repeat and repeat != HufRepeat.NONE and old is not None:
-        payload = _encode_streams(lit, old, single_stream)
+        payload, used1 = encode_best(old)
         if payload is None or len(payload) >= n - 1:
-            return 0, None, False
-        return payload, None, True
+            return 0, None, False, single_stream
+        return payload, None, True, used1
 
     huff_log = huffman.huf_optimal_table_log(huffman.HUF_TABLELOG_DEFAULT, n, max_symbol)
     try:
@@ -109,24 +125,24 @@ def _huf_compress(lit: bytes, single_stream: bool, prev: HufEntropyState,
         # unserializable tree (>128 symbols with incompressible weights):
         # the reference treats any HUF error as "emit raw literals"
         # (zstd_compress_literals.c:188 ERR_isError -> noCompressLiterals)
-        return 0, None, False
+        return 0, None, False, single_stream
     if repeat != HufRepeat.NONE and old is not None:
         old_size = huffman.huf_estimate_compressed_size(old, count, max_symbol)
         new_size = huffman.huf_estimate_compressed_size(ct, count, max_symbol)
         if old_size <= len(hdr) + new_size or len(hdr) + 12 >= n:
-            payload = _encode_streams(lit, old, single_stream)
+            payload, used1 = encode_best(old)
             if payload is None or len(payload) >= n - 1:
-                return 0, None, False
-            return payload, None, True
+                return 0, None, False, single_stream
+            return payload, None, True, used1
     if len(hdr) + 12 >= n:
-        return 0, None, False
-    payload = _encode_streams(lit, ct, single_stream)
+        return 0, None, False, single_stream
+    payload, used1 = encode_best(ct)
     if payload is None:
-        return 0, None, False
+        return 0, None, False, single_stream
     total = hdr + payload
     if len(total) >= n - 1:
-        return 0, None, False
-    return total, ct, False
+        return 0, None, False, single_stream
+    return total, ct, False, used1
 
 
 def _encode_streams(lit: bytes, ct: huffman.HufCTable,
@@ -157,8 +173,8 @@ def compress_literals(lit: bytes, prev: HufEntropyState, strategy: int,
     # output is unchanged, so it is accepted and ignored here.
     del suspect_uncompressible
 
-    result, new_table, used_repeat = _huf_compress(lit, single_stream, prev,
-                                                   prefer_repeat)
+    result, new_table, used_repeat, single_stream = _huf_compress(
+        lit, single_stream, prev, prefer_repeat)
     if isinstance(result, int):
         c_lit_size = result
         payload = b""

@@ -174,6 +174,67 @@ def find_sequences_chainlazy(full: np.ndarray, block_start: int,
     return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)
 
 
+def find_sequences_opt_dual(full: np.ndarray, block_start: int,
+                            block_end: int, window_low: int, reps: tuple,
+                            cparams, state):
+    """Iterated keep-min parse (levels 19+): parse the block once with the
+    chained statistics (pass 1), snapshot-clone the pre-block matcher, feed
+    pass 1's histograms into the snapshot, and re-parse with the converged
+    prices (pass 2). Returns [(seqstore, reps, commit_fn), ...] — the
+    caller sizes both candidates EXACTLY and calls the winner's commit_fn
+    (which swaps the persistent contexts when pass 2 wins). The reference
+    only self-seeds the first block (ZSTD_initStats_ultra,
+    zstd_opt.c:1520); iterating every block is what pushes compressed
+    sizes at 19/22 below the reference's on held-out corpora."""
+    nat = get_native()
+    if nat is None or state is None:
+        return None
+    import os as _os
+    n_cand = max(int(_os.environ.get("ZSTD_TPU_OPT_ITER", "3")), 1)
+    if state.opt_ctx is None:
+        state.opt_ctx = nat.opt_ctx()
+    # pool[0] is a pristine PRE-block snapshot (never parsed on this block);
+    # pool[1..] host the re-parse candidates
+    pool = getattr(state, "opt_ctx_b", None)
+    if pool is None or not isinstance(pool, list):
+        pool = [nat.opt_ctx() for _ in range(n_cand)]
+        state.opt_ctx_b = pool
+    while len(pool) < n_cand:
+        pool.append(nat.opt_ctx())
+    if not nat.opt_ctx_clone(pool[0], state.opt_ctx, used_hint=block_end):
+        return None
+    args = (full, window_low, block_start, block_end, reps,
+            cparams.hash_log, cparams.search_log, cparams.min_match,
+            cparams.target_length, cparams.strategy)
+    out = []
+    prev_ctx = None
+    for k in range(n_cand):
+        if k == 0:
+            ctx = state.opt_ctx
+        else:
+            ctx = pool[k]
+            if not nat.opt_ctx_clone(ctx, pool[0], used_hint=block_end):
+                break
+            nat.opt_ctx_copy_prices(ctx, prev_ctx)
+        res = nat.opt_parse(*args[:5], *args[5:], ctx=ctx)
+        if res is None:
+            break
+        sq, rp = _rebuild_store(full, block_start, block_end,
+                                res[0], res[1], res[2], res[3])
+
+        def commit(k=k, ctx=ctx):
+            if k == 0:
+                return
+            # the winner becomes the chained context; the old chained ctx
+            # returns to the pool for recycling
+            pool[k] = state.opt_ctx
+            state.opt_ctx = ctx
+
+        out.append((sq, rp, commit))
+        prev_ctx = ctx
+    return out or None
+
+
 def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
                        window_low: int, reps: tuple, cparams,
                        state=None) -> tuple[SeqStore, tuple]:

@@ -56,6 +56,12 @@ class _Native:
         lib.zt_opt_ctx_new.argtypes = []
         lib.zt_opt_ctx_free.restype = None
         lib.zt_opt_ctx_free.argtypes = [ctypes.c_void_p]
+        lib.zt_opt_ctx_clone.restype = ctypes.c_int
+        lib.zt_opt_ctx_clone.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+        lib.zt_opt_ctx_copy_prices.restype = None
+        lib.zt_opt_ctx_copy_prices.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p]
         lib.zt_dctx_new.restype = ctypes.c_void_p
         lib.zt_dctx_free.argtypes = [ctypes.c_void_p]
         lib.zt_decompress_block.restype = ctypes.c_int64
@@ -592,6 +598,14 @@ class _Native:
                     self.ptr = None
 
         return _OptCtx()
+
+    def opt_ctx_clone(self, dst, src, used_hint: int = 0) -> bool:
+        """Snapshot src's matcher tables + statistics into dst (the
+        per-block snapshot behind the iterated keep-min parse)."""
+        return self._lib.zt_opt_ctx_clone(dst.ptr, src.ptr, used_hint) == 0
+
+    def opt_ctx_copy_prices(self, dst, src) -> None:
+        self._lib.zt_opt_ctx_copy_prices(dst.ptr, src.ptr)
 
     def opt_parse(self, full, window_low: int, block_start: int,
                   block_end: int, reps: tuple, hash_log: int,
