@@ -24,6 +24,7 @@ decoder per frame.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax.numpy as jnp
 import numpy as np
@@ -139,8 +140,9 @@ def _raise_device_failure(okj, finalj, nl) -> None:
 
 
 # one fused program covers up to this much decoded content; groups larger
-# than this split so device buffers stay bounded
-_GROUP_CONTENT_CAP = 32 << 20
+# than this split so device buffers stay bounded. Overridable: very large
+# fused programs can wedge slow remote-compile links (tunneled devices).
+_GROUP_CONTENT_CAP = int(os.environ.get("ZSTD_TPU_DEVDEC_GROUP_MB", "32")) << 20
 
 
 def _parse_jobs(data: bytes, window_log_max: int):
