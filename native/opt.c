@@ -55,6 +55,13 @@
 static int g_nodes_mult = -1, g_bias = -1, g_suff = -1;
 static int g_twopass = -1, g_noskip = 0, g_skipmin = -1, g_skipcap = -1;
 static long g_dbg_pos = -1;
+/* position tracing is debug scaffolding; compile it out of the DP fill
+ * loop unless built with -DZT_OPT_DEBUG (ADVICE r4) */
+#ifdef ZT_OPT_DEBUG
+#define DBG_POS(cond) (g_dbg_pos >= 0 && (cond))
+#else
+#define DBG_POS(cond) 0
+#endif
 static void code_tabs_init(void);
 static void read_knobs(void) {
     if (g_nodes_mult >= 0) return;
@@ -927,7 +934,7 @@ static int64_t opt_core(OptCtx* X,
             int64_t limit = block_end - pos;
             int nc = bt_all_matches(X, base, pos, window_low, block_end,
                                     nodes, c->rep, c->litrun == 0, suff, m);
-            if (g_dbg_pos >= 0 && pos >= g_dbg_pos - 16 && pos <= g_dbg_pos) {
+            if (DBG_POS(pos >= g_dbg_pos - 16 && pos <= g_dbg_pos)) {
                 fprintf(stderr, "[dbg] pos=%ld cur=%ld ll0=%d rep=%u,%u,%u "
                         "ins_until=%ld nc=%d:", (long)pos, (long)cur,
                         c->litrun == 0, c->rep[0], c->rep[1], c->rep[2],
@@ -973,7 +980,7 @@ static int64_t opt_core(OptCtx* X,
                             }
                         }
                         Cell* t = &cells[p_];
-                        if (g_dbg_pos >= 0 && ip + p_ == g_dbg_pos)
+                        if (DBG_POS(ip + p_ == g_dbg_pos))
                             fprintf(stderr, "[fill] tgt=%ld from pos=%ld "
                                     "l=%u ob=%u np=%ld old=%ld\n",
                                     (long)(ip + p_), (long)pos, l, ob,

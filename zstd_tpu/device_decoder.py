@@ -142,7 +142,11 @@ def _raise_device_failure(okj, finalj, nl) -> None:
 # one fused program covers up to this much decoded content; groups larger
 # than this split so device buffers stay bounded. Overridable: very large
 # fused programs can wedge slow remote-compile links (tunneled devices).
-_GROUP_CONTENT_CAP = int(os.environ.get("ZSTD_TPU_DEVDEC_GROUP_MB", "32")) << 20
+try:
+    _GROUP_CONTENT_CAP = int(
+        os.environ.get("ZSTD_TPU_DEVDEC_GROUP_MB", "32")) << 20
+except ValueError:                     # malformed override: keep the default
+    _GROUP_CONTENT_CAP = 32 << 20
 
 
 def _parse_jobs(data: bytes, window_log_max: int):

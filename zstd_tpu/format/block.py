@@ -243,14 +243,16 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         seq_section, next_fse = write_sequences_section(sub, st.fse, strategy)
         return lit_section + seq_section, next_huf, next_fse
 
-    # Iterated keep-min optimal parse (levels 19+): two candidate parses of
-    # the same block — the chained-statistics pass and a self-seeded
-    # re-parse — sized EXACTLY here; the smaller encode wins and its
-    # matcher context chains forward. ZSTD_TPU_OPT_ITER=0 disables.
+    # Iterated keep-min optimal parse (levels 19+): several candidate
+    # parses of the same block — the chained-statistics pass plus
+    # self-seeded re-parses (ZSTD_TPU_OPT_ITER candidates, default 3) —
+    # sized EXACTLY here; the smallest encode wins and its matcher context
+    # chains forward. ZSTD_TPU_OPT_ITER=0 disables.
     import os as _os
+    from .opt import opt_iter_candidates
     candidates = None
     if (_SEQ_PRODUCER is None and ldm_ctx is None and strategy >= 9
-            and _os.environ.get("ZSTD_TPU_OPT_ITER", "1") != "0"
+            and opt_iter_candidates() != 0
             and _os.environ.get("ZSTD_TPU_HOST_PARSER", "") in ("", "dp")):
         from .opt import find_sequences_opt_dual
         candidates = find_sequences_opt_dual(
@@ -358,8 +360,8 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
                 sub.literals, stt.huf, strategy, disable=False,
                 suspect_uncompressible=False)
             seq_s, nf = write_sequences_section(sub, stt.fse, strategy)
-            return len(lit_s) + len(seq_s), BlockCState(
-                nh, nf, stt.reps, stt.opt_ctx, stt.fast_table)
+            return len(lit_s) + len(seq_s), dataclasses.replace(
+                stt, huf=nh, fse=nf)
 
         def _best(a, b, stt, depth):
             try:

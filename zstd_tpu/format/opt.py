@@ -15,6 +15,18 @@ from .lazy import find_sequences_lazy
 from .sequences import SeqStore
 
 
+def opt_iter_candidates() -> int:
+    """Single parse point for ZSTD_TPU_OPT_ITER: the number of keep-min
+    parse candidates per block at levels 19+ (default 3). 0 disables the
+    iterated parse entirely (gate lives in block.py). Malformed values
+    fall back to the default instead of crashing mid-compress."""
+    import os as _os
+    try:
+        return int(_os.environ.get("ZSTD_TPU_OPT_ITER", "3"))
+    except ValueError:
+        return 3
+
+
 def _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps):
     """Gather the literal bytes (everything outside matches) in one
     vectorized multi-range take instead of a per-sequence Python loop."""
@@ -189,8 +201,7 @@ def find_sequences_opt_dual(full: np.ndarray, block_start: int,
     nat = get_native()
     if nat is None or state is None:
         return None
-    import os as _os
-    n_cand = max(int(_os.environ.get("ZSTD_TPU_OPT_ITER", "3")), 1)
+    n_cand = max(opt_iter_candidates(), 1)
     if state.opt_ctx is None:
         state.opt_ctx = nat.opt_ctx()
     # pool[0] is a pristine PRE-block snapshot (never parsed on this block);

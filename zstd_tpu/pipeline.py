@@ -525,6 +525,82 @@ class TpuCompressor:
         return total
 
     # ------------------------------------------------------------------
+    def device_stage_mbps(self, data: bytes, reps: int = 3) -> float:
+        """Device-compute stage rate: the two jitted programs (analyze +
+        pack) timed alone with block_until_ready — inputs pre-staged on
+        device, host entropy planning and all transfers excluded. This is
+        the falsifiable measurement behind the PARITY silicon-rate claim
+        (VERDICT r4 item 5): what the device itself sustains when the link
+        is not in the loop."""
+        n = len(data)
+        if n == 0:
+            return 0.0
+        cparams = get_cparams(self.level, n)
+        block_size = min(1 << cparams.window_log, BLOCK_MAX_SIZE)
+        nb_blocks = (n + block_size - 1) // block_size
+        arr = np.frombuffer(data, dtype=np.uint8)
+        batches = [(bs, min(bs + self.batch_blocks, nb_blocks))
+                   for bs in range(0, nb_blocks, self.batch_blocks)]
+        eng = "lazy" if cparams.strategy >= 3 else _engine_kind()
+        if os.environ.get("ZSTD_TPU_ENGINE"):
+            eng = _engine_kind()
+        mls = min(max(cparams.min_match, 4), 8)
+        seq_cap = max(block_size // 8, 8)
+
+        dev_in = []
+        for bs, be in batches:
+            bsz = be - bs
+            blocks = np.zeros((bsz, block_size), dtype=np.uint8)
+            lens = np.zeros(bsz, dtype=np.int32)
+            for j, bi in enumerate(range(bs, be)):
+                s = bi * block_size
+                e = min(s + block_size, n)
+                blocks[j, : e - s] = arr[s:e]
+                lens[j] = e - s
+            dev_in.append((jax.device_put(jnp.asarray(blocks)),
+                           jax.device_put(jnp.asarray(lens)), lens))
+
+        def run_A():
+            outs = [_analyze_jit(b, l, cparams.hash_log, mls, seq_cap,
+                                 engine=eng) for b, l, _ in dev_in]
+            for stats, _ in outs:
+                stats.block_until_ready()
+            return outs
+
+        outs = run_A()                       # compile + warm
+        tA = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            outs = run_A()
+            tA = min(tA, time.time() - t0)
+
+        pack_args = []
+        for (_, _, lens_np), (stats, resident) in zip(dev_in, outs):
+            plans, blob, cap, ow_fse, seg_cap, ow_huf = self._build_plans(
+                np.asarray(stats), lens_np, cparams.strategy, block_size)
+            pack_args.append((resident, jax.device_put(jnp.asarray(blob)),
+                              cap, ow_fse, seg_cap, ow_huf))
+
+        def run_B():
+            cs = []
+            for r, blob_d, cap, ow_fse, seg_cap, ow_huf in pack_args:
+                compact, _ = _pack_impl(
+                    r["llc"], r["mlc"], r["ofc"], r["llx"], r["mlb"],
+                    r["ob"], r["nb_seq"], r["lits"], r["nb_lit"], blob_d,
+                    cap, ow_fse, seg_cap, ow_huf)
+                cs.append(compact)
+            for compact in cs:
+                compact.block_until_ready()
+
+        run_B()                              # compile + warm
+        tB = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            run_B()
+            tB = min(tB, time.time() - t0)
+        return n / (tA + tB) / 1e6
+
+    # ------------------------------------------------------------------
     def _build_plans(self, stats, lens, strategy, block_size):
         """Host half of program B: per-block entropy planning from the
         stats vectors alone. Returns (plans, plan blob, pack shape params);
