@@ -592,6 +592,85 @@ static int build_seq_table(FseDT* t, const uint8_t** srcp, const uint8_t* end,
     return fuse_seq_table(t, bases, xbits, n_codes);
 }
 
+/* execute one (ll, ml, offset) sequence: overshooting copies when the
+ * destination has slack (dst buffers carry a block of headroom),
+ * byte-exact fallbacks otherwise. The common shape on text-like data is
+ * ll <= 16 and ml <= 16, so both copies are ONE 16-byte load/store pair
+ * with loops only on the long tail (role of ZSTD_execSequence's copy16 +
+ * wildcopy split, zstd_decompress_block.c:~1001, done with our own
+ * small-offset stride table). */
+static inline __attribute__((always_inline)) int
+exec_seq(uint8_t* dstBase, int64_t* io_out, const uint8_t* lits,
+         int64_t* io_litpos, int64_t nlit, uint32_t ll, uint32_t ml,
+         uint32_t offset, int64_t dstCap, int64_t windowLow) {
+    int64_t out = *io_out;
+    int64_t lit_pos = *io_litpos;
+    if (lit_pos + ll > nlit) return -1;
+    if (out + ll + ml > dstCap) return -1;
+    if (out + ll + ml + 64 <= dstCap) {
+        uint8_t* op = dstBase + out;
+        const uint8_t* lp = lits + lit_pos;
+        memcpy(op, lp, 16);
+        if (ll > 16)
+            for (int64_t c = 16; c < ll; c += 16)
+                memcpy(op + c, lp + c, 16);
+        lit_pos += ll;
+        out += ll;
+        op += ll;
+        if (out - (int64_t)offset < windowLow) return -1;
+        const uint8_t* mp = op - offset;
+        if (offset >= 8) {
+            /* one class for all non-overlapping-within-8 offsets: two 8B
+             * copies cover ml <= 16 (the common case) without a second
+             * offset-class branch to mispredict on mixed-offset data */
+            memcpy(op, mp, 8);
+            memcpy(op + 8, mp + 8, 8);
+            if (ml > 16) {
+                if (offset >= 16)
+                    for (int64_t c = 16; c < ml; c += 16)
+                        memcpy(op + c, mp + c, 16);
+                else
+                    for (int64_t c = 16; c < ml; c += 8)
+                        memcpy(op + c, mp + c, 8);
+            }
+        } else {
+            /* pattern period < 8: seed 8 bytes byte-wise, then jump the
+             * source back by the smallest multiple of the period that is
+             * >= 8 so 8-byte chunks never overlap their own output.
+             * back8[o] = o * ceil(8/o); the re-read window (op - 6 at
+             * worst) is inside the already-decoded output because
+             * offset < 8 bytes precede the match start. */
+            static const int8_t back8[8] = {0, 8, 8, 9, 8, 10, 12, 14};
+            op[0] = mp[0]; op[1] = mp[1]; op[2] = mp[2]; op[3] = mp[3];
+            op[4] = mp[4]; op[5] = mp[5]; op[6] = mp[6]; op[7] = mp[7];
+            if (ml > 8) {
+                const uint8_t* ms = op + 8 - back8[offset];
+                for (int64_t c = 8; c < ml; c += 8)
+                    memcpy(op + c, ms + (c - 8), 8);
+            }
+        }
+        out += ml;
+    } else {
+        memcpy(dstBase + out, lits + lit_pos, ll);
+        lit_pos += ll;
+        out += ll;
+        if (out - (int64_t)offset < windowLow) return -1;
+        /* overlap-safe doubling copy */
+        int64_t from = out - offset;
+        int64_t rem = ml;
+        while (rem > 0) {
+            int64_t chunk = out - from;      /* distinct bytes available */
+            if (chunk > rem) chunk = rem;
+            memcpy(dstBase + out, dstBase + from, chunk);
+            out += chunk;
+            rem -= chunk;
+        }
+    }
+    *io_out = out;
+    *io_litpos = lit_pos;
+    return 0;
+}
+
 /* returns bytes written at dstBase+dstPos, or -1 */
 int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
                             uint8_t* dstBase, int64_t dstPos, int64_t dstCap,
@@ -741,158 +820,167 @@ int64_t zt_decompress_block(void* vctx, const uint8_t* src, int64_t srcSize,
     int64_t produced = 0;
     uint32_t rep0 = ctx->rep[0], rep1 = ctx->rep[1], rep2 = ctx->rep[2];
 
-    for (int64_t i = 0; i < nbseq; i++) {
-        /* fused tables: state -> (base, extra bits) directly; the three
-         * value fields read from independent precomputed bit positions
-         * (of above ml above ll), breaking the serial
-         * read->update->read chain into parallel loads */
-        int ofb = nof.xbits[sof], mlb = nml.xbits[sml], llb = nll.xbits[sll];
-        int tot = ofb + mlb + llb;
-        uint64_t offv, mlx, llx;
-        uint32_t ml, ll;
+/* decode ONE sequence's (ll, ml, offset), advancing the FSE / bit /
+ * repcode state. Fused tables: state -> (base, extra bits) directly.
+ * Fast path: ONE 64-bit load carries this sequence's value bits AND the
+ * three next-state bits (typical total <= 45 bits; layout from low bit:
+ * of/ml/ll states, then ll/ml/of values) — halves the loads and the
+ * bit_pos dependency chain. has_next gates the state refill (the last
+ * sequence of a block carries no refill bits). */
+#define ZT_DECODE_ONE(llv, mlv, offs, has_next)                               \
+    do {                                                                      \
+        int ofb = nof.xbits[sof], mlb = nml.xbits[sml],                       \
+            llb = nll.xbits[sll];                                             \
+        int tot = ofb + mlb + llb;                                            \
+        uint64_t offv, mlx, llx;                                              \
+        uint32_t ml_, ll_;                                                    \
+        int done_ = 0;                                                        \
+        if (has_next) {                                                       \
+            int nbl = nll.nb[sll], nbm = nml.nb[sml], nbo = nof.nb[sof];      \
+            int stot = nbl + nbm + nbo;        /* <= 9+9+8 = 26 bits */       \
+            int64_t q_of = br.bit_pos - tot - stot;                           \
+            if (q_of < 0) return -1;                                          \
+            int64_t byte = q_of >> 3;                                         \
+            int sh = (int)(q_of & 7);                                         \
+            if (byte + 8 <= br.size && tot + stot + sh <= 64) {               \
+                uint64_t w;                                                   \
+                memcpy(&w, br.start + byte, 8);                               \
+                w >>= sh;                                                     \
+                uint32_t nsof = nof.next[sof]                                 \
+                                + (uint32_t)(w & ((1u << nbo) - 1));          \
+                w >>= nbo;                                                    \
+                uint32_t nsml = nml.next[sml]                                 \
+                                + (uint32_t)(w & ((1u << nbm) - 1));          \
+                w >>= nbm;                                                    \
+                uint32_t nsll = nll.next[sll]                                 \
+                                + (uint32_t)(w & ((1u << nbl) - 1));          \
+                w >>= nbl;                                                    \
+                llx = w & ((llb >= 32) ? 0xFFFFFFFFu : ((1u << llb) - 1));    \
+                w >>= llb;                                                    \
+                mlx = w & ((1u << mlb) - 1);                                  \
+                w >>= mlb;                                                    \
+                offv = (w & (((uint64_t)1 << ofb) - 1)) + nof.base[sof];      \
+                ml_ = nml.base[sml] + (uint32_t)mlx;                          \
+                ll_ = nll.base[sll] + (uint32_t)llx;                          \
+                sof = nsof; sml = nsml; sll = nsll;                           \
+                br.bit_pos = q_of;                                            \
+                done_ = 1;                                                    \
+            }                                                                 \
+        }                                                                     \
+        if (!done_) {                                                         \
+            int64_t p_ll = br.bit_pos - tot;                                  \
+            if (p_ll < 0) return -1;                                          \
+            int64_t byte = p_ll >> 3;                                         \
+            int sh = (int)(p_ll & 7);                                         \
+            if (byte + 8 <= br.size && tot + sh <= 64) {                      \
+                uint64_t w;                                                   \
+                memcpy(&w, br.start + byte, 8);                               \
+                w >>= sh;                                                     \
+                llx = w & ((llb >= 32) ? 0xFFFFFFFFu : ((1u << llb) - 1));    \
+                w >>= llb;                                                    \
+                mlx = w & ((1u << mlb) - 1);                                  \
+                w >>= mlb;                                                    \
+                offv = w & (((uint64_t)1 << ofb) - 1);                        \
+            } else {                                                          \
+                offv = bits_at(&br, p_ll + llb + mlb, ofb);                   \
+                mlx = bits_at(&br, p_ll + llb, mlb);                          \
+                llx = bits_at(&br, p_ll, llb);                                \
+            }                                                                 \
+            offv += nof.base[sof];                                            \
+            ml_ = nml.base[sml] + (uint32_t)mlx;                              \
+            ll_ = nll.base[sll] + (uint32_t)llx;                              \
+            br.bit_pos = p_ll;                                                \
+            if (has_next) {                                                   \
+                int nbl = nll.nb[sll];                                        \
+                int nbm = nml.nb[sml];                                        \
+                int nbo = nof.nb[sof];                                        \
+                int64_t q_of = br.bit_pos - (nbl + nbm + nbo);                \
+                if (q_of < 0) return -1;                                      \
+                sll = nll.next[sll] + bits_at(&br, q_of + nbo + nbm, nbl);    \
+                sml = nml.next[sml] + bits_at(&br, q_of + nbo, nbm);          \
+                sof = nof.next[sof] + bits_at(&br, q_of, nbo);                \
+                br.bit_pos = q_of;                                            \
+            }                                                                 \
+        }                                                                     \
+        /* repcode resolution (spec Repeat offsets; ofc==0 => offv==1).
+         * Two branches: new-offset vs repeat, then rep0 vs the rest; the
+         * rest resolves with selects so mixed rep1/rep2/rep0-1 traffic
+         * doesn't mispredict a 3-deep chain. */                              \
+        uint32_t off_;                                                        \
+        if (offv > 3) {                                                       \
+            off_ = (uint32_t)(offv - 3);                                      \
+            rep2 = rep1; rep1 = rep0; rep0 = off_;                            \
+        } else {                                                              \
+            uint32_t idx = (uint32_t)offv + (ll_ == 0 ? 1 : 0);               \
+            if (idx == 1) off_ = rep0;                                        \
+            else {                                                            \
+                off_ = idx == 2 ? rep1 : (idx == 3 ? rep2 : rep0 - 1);        \
+                if (off_ == 0) return -1;                                     \
+                rep2 = idx == 2 ? rep2 : rep1;                                \
+                rep1 = rep0;                                                  \
+                rep0 = off_;                                                  \
+            }                                                                 \
+        }                                                                     \
+        if (off_ == 0) return -1;                                             \
+        (llv) = ll_; (mlv) = ml_; (offs) = off_;                              \
+    } while (0)
 
-        /* combined fast path: ONE 64-bit load carries this sequence's
-         * value bits AND the three next-state bits (typical total
-         * <= 45 bits; layout from low bit: of/ml/ll states, then
-         * ll/ml/of values) — halves the loads and the bit_pos
-         * dependency chain of the two-window layout */
-        if (i + 1 < nbseq) {
-            int nbl = nll.nb[sll], nbm = nml.nb[sml], nbo = nof.nb[sof];
-            int stot = nbl + nbm + nbo;        /* <= 9+9+8 = 26 bits */
-            int64_t q_of = br.bit_pos - tot - stot;
-            if (q_of < 0) return -1;
-            int64_t byte = q_of >> 3;
-            int sh = (int)(q_of & 7);
-            if (byte + 8 <= br.size && tot + stot + sh <= 64) {
-                uint64_t w;
-                memcpy(&w, br.start + byte, 8);
-                w >>= sh;
-                uint32_t nsof = nof.next[sof] + (uint32_t)(w & ((1u << nbo) - 1));
-                w >>= nbo;
-                uint32_t nsml = nml.next[sml] + (uint32_t)(w & ((1u << nbm) - 1));
-                w >>= nbm;
-                uint32_t nsll = nll.next[sll] + (uint32_t)(w & ((1u << nbl) - 1));
-                w >>= nbl;
-                llx = w & ((llb >= 32) ? 0xFFFFFFFFu : ((1u << llb) - 1));
-                w >>= llb;
-                mlx = w & ((1u << mlb) - 1);
-                w >>= mlb;
-                offv = (w & (((uint64_t)1 << ofb) - 1)) + nof.base[sof];
-                ml = nml.base[sml] + (uint32_t)mlx;
-                ll = nll.base[sll] + (uint32_t)llx;
-                sof = nsof; sml = nsml; sll = nsll;
-                br.bit_pos = q_of;
-                goto resolved;
-            }
-        }
-        {
-            int64_t p_ll = br.bit_pos - tot;
-            if (p_ll < 0) return -1;
-            int64_t byte = p_ll >> 3;
-            int sh = (int)(p_ll & 7);
-            if (byte + 8 <= br.size && tot + sh <= 64) {
-                /* one load covers all three fields (ll lowest, of highest) */
-                uint64_t w;
-                memcpy(&w, br.start + byte, 8);
-                w >>= sh;
-                llx = w & ((llb >= 32) ? 0xFFFFFFFFu : ((1u << llb) - 1));
-                w >>= llb;
-                mlx = w & ((1u << mlb) - 1);
-                w >>= mlb;
-                offv = w & (((uint64_t)1 << ofb) - 1);
-            } else {
-                offv = bits_at(&br, p_ll + llb + mlb, ofb);
-                mlx = bits_at(&br, p_ll + llb, mlb);
-                llx = bits_at(&br, p_ll, llb);
-            }
-            offv += nof.base[sof];
-            ml = nml.base[sml] + (uint32_t)mlx;
-            ll = nll.base[sll] + (uint32_t)llx;
-            br.bit_pos = p_ll;
-
-            /* state updates (all but last sequence) */
-            if (i + 1 < nbseq) {
-                int nbl = nll.nb[sll];
-                int nbm = nml.nb[sml];
-                int nbo = nof.nb[sof];
-                int64_t q_of = br.bit_pos - (nbl + nbm + nbo);
-                if (q_of < 0) return -1;
-                sll = nll.next[sll] + bits_at(&br, q_of + nbo + nbm, nbl);
-                sml = nml.next[sml] + bits_at(&br, q_of + nbo, nbm);
-                sof = nof.next[sof] + bits_at(&br, q_of, nbo);
-                br.bit_pos = q_of;
-            }
-        }
-    resolved:;
-
-        /* repcode resolution (spec Repeat offsets; ofc==0 => offv==1) */
-        uint32_t offset;
-        if (offv > 3) {
-            offset = (uint32_t)(offv - 3);
-            rep2 = rep1; rep1 = rep0; rep0 = offset;
-        } else {
-            uint32_t idx = (uint32_t)offv + (ll == 0 ? 1 : 0);
-            if (idx == 1) offset = rep0;
-            else if (idx == 2) { offset = rep1; rep1 = rep0; rep0 = offset; }
-            else if (idx == 3) { offset = rep2; rep2 = rep1; rep1 = rep0;
-                                 rep0 = offset; }
-            else { offset = rep0 - 1; if (offset == 0) return -1;
-                   rep2 = rep1; rep1 = rep0; rep0 = offset; }
-        }
-        if (offset == 0) return -1;
-
-        /* exec: fixed-stride overshooting copies when the destination has
-         * slack (dst buffers carry a block of headroom), byte-exact
-         * fallbacks otherwise */
-        if (lit_pos + ll > nlit) return -1;
-        if (out + ll + ml > dstCap) return -1;
-        int wild = (out + ll + ml + 64 <= dstCap);
-        if (wild && ll <= 32) {
-            memcpy(dstBase + out, ctx->lits + lit_pos, 32);
-        } else if (wild) {
-            const uint8_t* s0 = ctx->lits + lit_pos;
-            uint8_t* d0 = dstBase + out;
-            for (int64_t c = 0; c < ll; c += 32)
-                memcpy(d0 + c, s0 + c, 32);
-        } else {
-            memcpy(dstBase + out, ctx->lits + lit_pos, ll);
-        }
-        lit_pos += ll;
-        out += ll;
-        if ((int64_t)out - (int64_t)offset < windowLow) return -1;
-        if (wild && offset >= 32) {
-            const uint8_t* s0 = dstBase + out - offset;
-            uint8_t* d0 = dstBase + out;
-            for (int64_t c = 0; c < ml; c += 32)
-                memcpy(d0 + c, s0 + c, 32);
-            out += ml;
-        } else if (wild && offset >= 16) {
-            const uint8_t* s0 = dstBase + out - offset;
-            uint8_t* d0 = dstBase + out;
-            memcpy(d0, s0, 16);
-            for (int64_t c = 16; c < ml; c += 16)
-                memcpy(d0 + c, s0 + c, 16);
-            out += ml;
-        } else if (wild && offset >= 8) {
-            const uint8_t* s0 = dstBase + out - offset;
-            uint8_t* d0 = dstBase + out;
-            for (int64_t c = 0; c < ml; c += 8)
-                memcpy(d0 + c, s0 + c, 8);
-            out += ml;
-        } else {   /* overlap-safe doubling copy */
-            int64_t from = out - offset;
-            int64_t rem = ml;
-            while (rem > 0) {
-                int64_t chunk = out - from;  /* distinct bytes available */
-                if (chunk > rem) chunk = rem;
-                memcpy(dstBase + out, dstBase + from, chunk);
-                out += chunk;
-                rem -= chunk;
-            }
-        }
-        produced += ll + ml;
-        if (produced > blockMax) return -1;
+    /* decode-ahead software pipeline: sequence i+ZT_ADV's fields decode
+     * (and its match source prefetches) while sequence i executes, so
+     * cache misses on far match sources overlap the FSE chain instead of
+     * serializing with it (role of ZSTD_decompressSequencesLong's
+     * STORED_SEQS ring, zstd_decompress_block.c:1715). Only worth the
+     * ring overhead when the OF table says offsets reach past L2: share
+     * of decode states with >= 23 extra offset bits (the reference's
+     * ZSTD_getLongOffsetsShare gate). */
+    int long_offsets = 0;
+    {
+        int of_size = 1 << nof.log;
+        int big = 0;
+        for (int c = 0; c < of_size; c++)
+            big += (nof.xbits[c] >= 23);
+        long_offsets = (big * 8 >= of_size);     /* >= 12.5% share */
     }
+    enum { ZT_ADV = 4 };
+    if (long_offsets && nbseq > ZT_ADV) {
+        uint32_t rll[ZT_ADV], rml[ZT_ADV], rof[ZT_ADV];
+        int64_t vout = out;              /* virtual out pos for prefetch */
+        for (int64_t j = 0; j < ZT_ADV; j++) {
+            uint32_t ll, ml, off;
+            ZT_DECODE_ONE(ll, ml, off, 1);
+            rll[j] = ll; rml[j] = ml; rof[j] = off;
+            vout += (int64_t)ll + ml;
+            __builtin_prefetch(dstBase + vout - ml - off, 0, 2);
+        }
+        for (int64_t i = 0; i < nbseq; i++) {
+            int k = (int)(i & (ZT_ADV - 1));
+            uint32_t ll = rll[k], ml = rml[k], offset = rof[k];
+            int64_t j = i + ZT_ADV;
+            if (j < nbseq) {
+                uint32_t ll2, ml2, off2;
+                if (j + 1 < nbseq) { ZT_DECODE_ONE(ll2, ml2, off2, 1); }
+                else               { ZT_DECODE_ONE(ll2, ml2, off2, 0); }
+                rll[k] = ll2; rml[k] = ml2; rof[k] = off2;
+                vout += (int64_t)ll2 + ml2;
+                __builtin_prefetch(dstBase + vout - ml2 - off2, 0, 2);
+            }
+            if (exec_seq(dstBase, &out, ctx->lits, &lit_pos, nlit, ll, ml,
+                         offset, dstCap, windowLow) < 0) return -1;
+            produced += (int64_t)ll + ml;
+            if (produced > blockMax) return -1;
+        }
+    } else {
+        for (int64_t i = 0; i < nbseq; i++) {
+            uint32_t ll, ml, offset;
+            if (i + 1 < nbseq) { ZT_DECODE_ONE(ll, ml, offset, 1); }
+            else               { ZT_DECODE_ONE(ll, ml, offset, 0); }
+            if (exec_seq(dstBase, &out, ctx->lits, &lit_pos, nlit, ll, ml,
+                         offset, dstCap, windowLow) < 0) return -1;
+            produced += (int64_t)ll + ml;
+            if (produced > blockMax) return -1;
+        }
+    }
+#undef ZT_DECODE_ONE
     /* trailing literals */
     {
         int64_t rest = nlit - lit_pos;
