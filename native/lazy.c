@@ -113,7 +113,15 @@ static int64_t lz_search(LzCtx* c, int64_t ip, int depth, int64_t* src_out) {
         if (lz_rd32(c->base + cand) == cur4) {
             int64_t l = 4 + lz_ext(c->base + ip + 4, c->base + cand + 4,
                                    c->base + c->block_end);
-            if (l > best) { best = l; bsrc = cand; }
+            /* best PRICED candidate (same rule as native/row.c): +1
+             * length must pay for <= 4 extra offset bits, else the
+             * nearer candidate wins — selecting by raw length drifts
+             * the offset distribution up on word-like text */
+            if (4 * l - lz_highbit((uint64_t)(ip - cand))
+                > 4 * best - (bsrc >= 0 ? lz_highbit((uint64_t)(ip - bsrc))
+                                        : 1000)) {
+                best = l; bsrc = cand;
+            }
         }
         cand = c->chain[cand & c->chain_mask];
     }

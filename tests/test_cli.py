@@ -61,8 +61,9 @@ def test_test_mode(tmp_path):
     f.write_bytes(c)
     r = run_cli(["-t", str(f)])
     assert r.returncode == 0
-    # corrupted file must fail
-    f.write_bytes(c[:50] + b"\xff\xff\xff\xff" + c[54:])
+    # corrupted file must fail (XOR so the bytes are GUARANTEED to change;
+    # a fixed overwrite pattern can coincide with the original bytes)
+    f.write_bytes(c[:50] + bytes(b ^ 0xFF for b in c[50:54]) + c[54:])
     r = run_cli(["-t", str(f)], check=False)
     assert r.returncode != 0
 

@@ -43,6 +43,8 @@ class BlockCState:
     fast_table: object = None
     # snapshot context for the iterated keep-min optimal parse (levels 19+)
     opt_ctx_b: object = None
+    # persistent row-matchfinder tables (pos, tag, head) for levels 5-12
+    row_table: object = None
 
 
 @dataclasses.dataclass
@@ -133,7 +135,7 @@ def compress_block(full: np.ndarray, block_start: int, block_end: int,
             return bytes(src[:1]), 1, state
         return raw
 
-    nxt = BlockCState(next_huf, next_fse, new_reps, state.opt_ctx, state.fast_table, state.opt_ctx_b)
+    nxt = dataclasses.replace(state, huf=next_huf, fse=next_fse, reps=new_reps)
     return payload, 2, nxt
 
 
@@ -178,6 +180,25 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
                 mls=min(max(cparams.min_match, 4), 8))
         from .opt import find_sequences_fast
         res = find_sequences_fast(
+            full, block_start, block_end, window_low, state.reps, cparams,
+            state=state)
+        if res is not None:
+            return res
+    if ((cparams.strategy in (3, 4)
+         or (cparams.strategy == 5 and cparams.search_log <= 4))
+            and override not in ("dp", "greedy", "chain")):
+        # row matchfinder (zstd_lazy.c:986 ZSTD_RowFindBestMatch role):
+        # default for the greedy/lazy strategies (levels 5-7) and the
+        # narrow-search lazy2 levels (8-9) — tagged rows give the
+        # chain-depth-256 ratio class at hash-probe speed (L5 ~25 MB/s
+        # -1.75%, L9 ~10 MB/s -0.21% vs reference on the pinned corpus).
+        # The wide-search lazy2 levels (10-12, search_log >= 5) stay on
+        # the deep-chain schedule below: the reference uses the stronger
+        # btlazy2 search there and a 64-slot row still loses to a
+        # 512-deep chain walk on ratio. ZSTD_TPU_HOST_PARSER=chain
+        # restores deep chains everywhere.
+        from .opt import find_sequences_row
+        res = find_sequences_row(
             full, block_start, block_end, window_low, state.reps, cparams,
             state=state)
         if res is not None:
@@ -286,7 +307,7 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
             return [(bytes(src[:1]), BT_RLE, n)], state
         return raw_piece, state
     whole = ([(whole_payload, BT_COMPRESSED, n)],
-             BlockCState(whole_huf, whole_fse, new_reps, state.opt_ctx, state.fast_table, state.opt_ctx_b))
+             dataclasses.replace(state, huf=whole_huf, fse=whole_fse, reps=new_reps))
 
     if n < 32768 and not target_cblock_size:
         return whole
@@ -340,10 +361,10 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
             if len(payload) >= clen:
                 return whole
             pieces.append((payload, BT_COMPRESSED, clen))
-            st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
+            st = dataclasses.replace(st, huf=next_huf, fse=next_fse)
             total += clen
             a = b
-        return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
+        return pieces, dataclasses.replace(st, reps=new_reps)
     if strategy >= 7:
         # btopt class: EXACT recursive dyadic split search with entropy-
         # state chaining (the reference accepts splits from fresh-table
@@ -406,14 +427,14 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         if len(payload) >= clen:
             return whole
         pieces.append((payload, BT_COMPRESSED, clen))
-        st = BlockCState(next_huf, next_fse, st.reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
+        st = dataclasses.replace(st, huf=next_huf, fse=next_fse)
         total += clen
     if (not target_cblock_size
             and sum(len(p) for p, _, _ in pieces) >= len(whole_payload)):
         # entropy-driven splitting must pay for itself; target-size
         # (superblock) splitting buys latency instead and keeps the split
         return whole
-    return pieces, BlockCState(st.huf, st.fse, new_reps, st.opt_ctx, st.fast_table, st.opt_ctx_b)
+    return pieces, dataclasses.replace(st, reps=new_reps)
 
 
 def decompress_block(payload: bytes, out: bytearray, window_low: int,

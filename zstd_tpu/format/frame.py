@@ -255,7 +255,16 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
             if pts:
                 end = pts[0]
         last_region = end == n
-        window_low = max(0, pos - window_size)
+        # window floor from the region END, not its start: regions may be
+        # re-cut into several emitted blocks (compress_block_pieces /
+        # sub-32K piece splitting), and the decoder enforces
+        # out_len - window at each EMITTED block's start — a match legal
+        # vs (pos - window) can violate (piece_start - window) for a
+        # later piece. Anchoring at `end` makes every possible piece cut
+        # window-safe (the reference's ZSTD_window_enforceMaxDist plays
+        # this role, zstd_compress_internal.h; costs at most one block
+        # length of reach when the window is saturated).
+        window_low = max(0, end - window_size)
         if split_full:
             from .block import compress_block_pieces
             pieces, state = compress_block_pieces(

@@ -119,6 +119,66 @@ def find_sequences_dfast(full: np.ndarray, block_start: int, block_end: int,
     return _rebuild_store(full, block_start, block_end, ll, ob, mb, new_reps)
 
 
+def find_sequences_row(full: np.ndarray, block_start: int,
+                       block_end: int, window_low: int, reps: tuple,
+                       cparams, state=None,
+                       ) -> tuple[SeqStore, tuple] | None:
+    """Row-matchfinder lazy parse (ZSTD_RowFindBestMatch role,
+    zstd_lazy.c:986; the reference's default for levels 5-12). Rows of
+    16/32 tagged slots replace hash chains: one SWAR tag compare per
+    probe instead of a depth-256 pointer walk."""
+    nat = get_native()
+    if nat is None or not hasattr(nat._lib, "zt_row_parse"):
+        return None
+    hash_log = min(max(cparams.hash_log, 14), 24)
+    strat = cparams.strategy
+    width_log = 4 if (cparams.search_log <= 4 and strat < 5) else 5
+    import os as _os
+    width_log = int(_os.environ.get("ZSTD_TPU_ROW_WIDTH", width_log))
+    row_log = hash_log - width_log
+    # lazy2 class: a full row of attempts (32) measures -0.21% vs the
+    # reference at L8/L9 on the pinned corpus; the tag filter makes the
+    # extra attempts nearly free (only tag-equal slots extend)
+    max_attempts = min(1 << max(cparams.search_log, 5 if strat >= 5 else 3),
+                       1 << width_log)
+    defer = min(max(strat - 3, 0), 2)
+    mls = min(max(cparams.min_match, 4), 7)
+    max_attempts = int(_os.environ.get("ZSTD_TPU_ROW_ATTEMPTS",
+                                       max_attempts))
+    defer = int(_os.environ.get("ZSTD_TPU_ROW_DEFER", defer))
+    mls = int(_os.environ.get("ZSTD_TPU_ROW_MLS", mls))
+    # far-reach long table (same role as chainlazy's): 8-byte-hash 2-way
+    # buckets of absolute positions, so long matches far back in the
+    # window survive the rows' per-bucket LRU eviction
+    hlog_long = min(max(cparams.hash_log, 15), 22)
+    entries = 1 << hash_log
+    rows = 1 << row_log
+    fresh = True
+    tabs = getattr(state, "row_table", None) if state is not None else None
+    if tabs is not None and tabs[0].shape[0] == entries \
+            and tabs[1].shape[0] == entries and tabs[2].shape[0] == rows:
+        fresh = False
+    else:
+        tabs = (np.full(entries, -1, dtype=np.int32),
+                np.zeros(entries, dtype=np.uint8),
+                np.zeros(rows, dtype=np.uint8),
+                np.full(2 << hlog_long, -1, dtype=np.int32))
+        if state is not None:
+            state.row_table = tabs
+    pos_t, tag_t, head_t, tlong = tabs
+    if fresh and block_start > window_low:
+        nat.row_fill(full, window_low, block_start, row_log, width_log,
+                     mls, pos_t, tag_t, head_t, tlong, hlog_long)
+    res = nat.row_parse(full, window_low, block_start, block_end, reps,
+                        row_log, width_log, mls, max_attempts, defer,
+                        pos_t, tag_t, head_t, tlong, hlog_long)
+    if res is None:
+        return None
+    ll, ob, mb, new_reps = res
+    return _rebuild_store(full, block_start, block_end, ll, ob, mb,
+                          new_reps)
+
+
 def find_sequences_chainlazy(full: np.ndarray, block_start: int,
                              block_end: int, window_low: int, reps: tuple,
                              cparams, state=None,
@@ -142,12 +202,13 @@ def find_sequences_chainlazy(full: np.ndarray, block_start: int,
         depth = 2 << min(max(cparams.search_log, 3), 8)
         defer = min(max(strat - 3, 0), 2)
         mls = min(max(cparams.min_match, 4), 7)
-    else:                     # lazy2 class (levels 8-12): deep chains stand
-        # in for the reference's wider row/BT reach — measured on the 8 MB
-        # pinned corpus: L9 -0.20%, L10(512) -0.53%, L12(1024) -0.30% vs
-        # the reference at MB/s-class speed (the DP route is -7..-10% but
-        # ~0.1 MB/s; ZSTD_TPU_HOST_PARSER=dp restores it)
-        depth = 256 << max(min(cparams.search_log, 7) - 4, 0)
+    else:                     # wide-search lazy2 class (levels 10-12):
+        # 512-deep chains stand in for the reference's btlazy2 BT reach —
+        # measured on the 8 MB pinned corpus: L10 -0.52%, L11 -0.10%,
+        # L12 -0.08% vs the reference at ~3 MB/s (deeper chains buy
+        # little past 512 and halve throughput; the DP route is -7..-10%
+        # but ~0.1 MB/s — ZSTD_TPU_HOST_PARSER=dp restores it)
+        depth = 512
         defer = 2
         mls = min(max(cparams.min_match, 4), 7)
     import os as _os

@@ -132,6 +132,18 @@ class _Native:
         lib.zt_lazy_fill_long.restype = None
         lib.zt_lazy_fill_long.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, i32p]
+        lib.zt_row_fill.restype = None
+        lib.zt_row_fill.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, u8p, u8p,
+            i32p, ctypes.c_int]
+        lib.zt_row_parse.restype = ctypes.c_int64
+        lib.zt_row_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u32p, i32p, i32p, i32p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, i32p, u8p, u8p,
+            i32p, ctypes.c_int]
         lib.zt_fse_normalize.restype = ctypes.c_int64
         lib.zt_fse_normalize.argtypes = [
             i64p, ctypes.c_int, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
@@ -441,6 +453,56 @@ class _Native:
         self._lib.zt_lazy_fill(
             full.ctypes.data_as(u8p), start, end, hash_log, chain_log, mls,
             head.ctypes.data_as(i32p), chain.ctypes.data_as(i32p))
+
+    def row_fill(self, full, start: int, end: int, row_log: int,
+                 width_log: int, mls: int, pos_table, tag_table,
+                 head_table, table_long=None, hlog_long=0):
+        """Index [start, end) (dictionary/window prefix) into the row
+        matchfinder tables (ZSTD_row_update role)."""
+        import numpy as np
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        tl = (table_long.ctypes.data_as(i32p) if table_long is not None
+              else ctypes.cast(None, i32p))
+        self._lib.zt_row_fill(
+            full.ctypes.data_as(u8p), start, end, row_log, width_log, mls,
+            pos_table.ctypes.data_as(i32p), tag_table.ctypes.data_as(u8p),
+            head_table.ctypes.data_as(u8p), tl,
+            hlog_long if table_long is not None else 0)
+
+    def row_parse(self, full, window_low, block_start, block_end, reps,
+                  row_log, width_log, mls, max_attempts, defer,
+                  pos_table, tag_table, head_table, table_long=None,
+                  hlog_long=0):
+        """Row-matchfinder lazy parse (ZSTD_RowFindBestMatch role,
+        zstd_lazy.c:986). Same sequence contract as lazy_parse."""
+        import numpy as np
+        n = block_end - block_start
+        seq_cap = n // 4 + 16
+        ll = np.zeros(seq_cap, dtype=np.int32)
+        ob = np.zeros(seq_cap, dtype=np.int32)
+        mb = np.zeros(seq_cap, dtype=np.int32)
+        reps_arr = np.array(reps, dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        tl = (table_long.ctypes.data_as(i32p) if table_long is not None
+              else ctypes.cast(None, i32p))
+        nseq = self._lib.zt_row_parse(
+            full.ctypes.data_as(u8p), window_low, block_start, block_end,
+            reps_arr.ctypes.data_as(u32p),
+            ll.ctypes.data_as(i32p), ob.ctypes.data_as(i32p),
+            mb.ctypes.data_as(i32p), seq_cap,
+            row_log, width_log, mls, max_attempts, defer, 8,
+            pos_table.ctypes.data_as(i32p), tag_table.ctypes.data_as(u8p),
+            head_table.ctypes.data_as(u8p), tl,
+            hlog_long if table_long is not None else 0)
+        if nseq < 0:
+            return None
+        return (ll[:nseq], ob[:nseq], mb[:nseq],
+                (int(reps_arr[0]), int(reps_arr[1]), int(reps_arr[2])))
 
     def _lazy_call(self, full, window_low, block_start, block_end, reps,
                    hash_log, chain_log, mls, depth, defer, accel_log,
