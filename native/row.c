@@ -17,6 +17,7 @@
  */
 
 #include <stdint.h>
+#include <stdlib.h>
 #include <stddef.h>
 #include <string.h>
 
@@ -196,6 +197,12 @@ void zt_row_fill(const uint8_t* base, int64_t from, int64_t to,
     for (int64_t j = from; j + 8 <= to; j++) row_insert(&c, j);
 }
 
+static int g_row_floor = -1000000;
+static void row_floor_init(void) {
+    const char* s_ = getenv("ZT_ROW_FLOOR");
+    g_row_floor = s_ ? atoi(s_) : -1000000;
+}
+
 int64_t zt_row_parse(const uint8_t* base, int64_t window_low,
                      int64_t block_start, int64_t block_end,
                      uint32_t* reps,
@@ -214,6 +221,7 @@ int64_t zt_row_parse(const uint8_t* base, int64_t window_low,
     if (max_attempts < 1) max_attempts = 1;
     if (accel_log < 4) accel_log = 4;
 
+    row_floor_init();
     RowCtx c = { base, pos_table, tag_table, head_table,
                  row_log, width_log, mls, window_low, block_end,
                  table_long, hlog_long };
@@ -254,7 +262,7 @@ int64_t zt_row_parse(const uint8_t* base, int64_t window_low,
             int64_t cl = row_search(&c, ip, max_attempts, &csrc);
             if (cl >= mls) {
                 int64_t v = 4 * cl - row_highbit((uint64_t)(ip - csrc));
-                if (v > val) { ml = cl; msrc = csrc; rcode = 0; val = v; }
+                if (v > val && v >= g_row_floor) { ml = cl; msrc = csrc; rcode = 0; val = v; }
             }
             int64_t fsrc = -1;
             int64_t fl = row_search_long(&c, ip, &fsrc);
@@ -290,7 +298,7 @@ int64_t zt_row_parse(const uint8_t* base, int64_t window_low,
                 int64_t cl = row_search(&c, nip, max_attempts, &csrc);
                 if (cl >= mls) {
                     int64_t v = 4 * cl - row_highbit((uint64_t)(nip - csrc));
-                    if (v > nval) {
+                    if (v > nval && v >= g_row_floor) {
                         nml = cl; nsrc = csrc; nrcode = 0; nval = v;
                     }
                 }

