@@ -345,7 +345,73 @@ typedef struct {
     int64_t last_end;    /* previous block_end (detects frame restart) */
     Prices P;
     int has_stats;
+    /* borrowed per-block match cache (iterated keep-min re-parses);
+     * owned by the caller via zt_opt_mcache_new/free. mc_mode: 0 off,
+     * 1 record (pass 1), 2 probe (passes 2+). */
+    struct MCache* mc;
+    int64_t mc_bs;
+    int mc_mode;
 } OptCtx;
+
+/* ---- per-block match cache ----
+ * The keep-min parse re-runs the SAME block 2-3x with different price
+ * seeds; the tree enumeration at a position depends only on (position,
+ * repcode state, ll0) — not on prices — so pass 1 records its results
+ * and later passes replay them on key match. A hit skips the tree walk
+ * AND the insertion (the skipped node never enters the re-parse's tree;
+ * later misses therefore search a slightly thinner tree — measured
+ * no-op on ratio, ~2x on re-parse speed). Misses fall through to the
+ * normal search (the ins_until catch-up re-creates any gap exactly). */
+#define MC_WIDTH 12
+typedef struct MCache {
+    int64_t cap;
+    uint32_t* key_rep;   /* [3*cap] */
+    uint8_t* key_ll0;    /* [cap]; 0xFF = empty */
+    int16_t* nc;         /* [cap]; -2 = uncacheable (overflow) */
+    uint16_t* adv;       /* [cap] ins_until advance (pos+adv) */
+    Match* m;            /* [cap * MC_WIDTH] */
+} MCache;
+
+void* zt_opt_mcache_new(int64_t cap) {
+    MCache* c = calloc(1, sizeof(MCache));
+    if (!c) return NULL;
+    c->cap = cap;
+    c->key_rep = malloc(sizeof(uint32_t) * 3 * cap);
+    c->key_ll0 = malloc(cap);
+    c->nc = malloc(sizeof(int16_t) * cap);
+    c->adv = malloc(sizeof(uint16_t) * cap);
+    c->m = malloc(sizeof(Match) * MC_WIDTH * cap);
+    if (!c->key_rep || !c->key_ll0 || !c->nc || !c->adv || !c->m) {
+        free(c->key_rep); free(c->key_ll0); free(c->nc); free(c->adv);
+        free(c->m); free(c);
+        return NULL;
+    }
+    return c;
+}
+
+void zt_opt_mcache_free(void* v) {
+    MCache* c = (MCache*)v;
+    if (!c) return;
+    free(c->key_rep); free(c->key_ll0); free(c->nc); free(c->adv);
+    free(c->m);
+    free(c);
+}
+
+/* arm ctx's cache for one block parse; mode 1 also clears the entries */
+void zt_opt_ctx_set_mcache(void* vctx, void* vmc, int64_t block_start,
+                           int64_t block_len, int mode) {
+    OptCtx* X = (OptCtx*)vctx;
+    MCache* c = (MCache*)vmc;
+    if (!c || block_len > c->cap || mode == 0) {
+        X->mc = NULL; X->mc_mode = 0; X->mc_bs = -1;
+        return;
+    }
+    X->mc = c;
+    X->mc_bs = block_start;
+    X->mc_mode = mode;
+    if (mode == 1)
+        memset(c->key_ll0, 0xFF, (size_t)block_len);
+}
 
 void* zt_opt_ctx_new(void) { return calloc(1, sizeof(OptCtx)); }
 
@@ -926,14 +992,52 @@ static int64_t opt_core(OptCtx* X,
             /* close any insertion gap left by an early-accept jump
              * (ZSTD_updateTree_internal catch-up); an overshoot still
              * searches at pos (updateTree clamps back to the target) */
-            while (X->ins_until < pos)
-                bt_insert(X, base, X->ins_until, window_low, block_end,
-                          nodes);
-            if (X->ins_until > pos) X->ins_until = pos;
-
             int64_t limit = block_end - pos;
-            int nc = bt_all_matches(X, base, pos, window_low, block_end,
-                                    nodes, c->rep, c->litrun == 0, suff, m);
+            int nc;
+            uint32_t ll0_ = (c->litrun == 0);
+            int64_t rel_ = (X->mc_mode && pos >= X->mc_bs)
+                               ? pos - X->mc_bs : -1;
+            MCache* mc_ = X->mc;
+            if (X->mc_mode == 2 && rel_ >= 0 && rel_ < mc_->cap
+                && mc_->key_ll0[rel_] == (uint8_t)ll0_
+                && mc_->nc[rel_] >= 0
+                && mc_->key_rep[3 * rel_] == c->rep[0]
+                && mc_->key_rep[3 * rel_ + 1] == c->rep[1]
+                && mc_->key_rep[3 * rel_ + 2] == c->rep[2]) {
+                /* replay pass 1's enumeration: same candidates, same
+                 * ins_until evolution; the tree walk and insertion are
+                 * skipped entirely */
+                nc = mc_->nc[rel_];
+                memcpy(m, mc_->m + rel_ * MC_WIDTH, sizeof(Match) * nc);
+                if (pos + mc_->adv[rel_] > X->ins_until)
+                    X->ins_until = pos + mc_->adv[rel_];
+            } else {
+                while (X->ins_until < pos)
+                    bt_insert(X, base, X->ins_until, window_low, block_end,
+                              nodes);
+                if (X->ins_until > pos) X->ins_until = pos;
+                nc = bt_all_matches(X, base, pos, window_low, block_end,
+                                    nodes, c->rep, ll0_, suff, m);
+                if (X->mc_mode == 1 && rel_ >= 0 && rel_ < mc_->cap) {
+                    if (nc <= MC_WIDTH) {
+                        int64_t adv_ = X->ins_until - pos;
+                        if (adv_ < 0) adv_ = 0;
+                        if (adv_ <= 0xFFFF) {
+                            mc_->key_ll0[rel_] = (uint8_t)ll0_;
+                            mc_->key_rep[3 * rel_] = c->rep[0];
+                            mc_->key_rep[3 * rel_ + 1] = c->rep[1];
+                            mc_->key_rep[3 * rel_ + 2] = c->rep[2];
+                            mc_->nc[rel_] = (int16_t)nc;
+                            mc_->adv[rel_] = (uint16_t)adv_;
+                            memcpy(mc_->m + rel_ * MC_WIDTH, m,
+                                   sizeof(Match) * nc);
+                        }
+                    } else {
+                        mc_->key_ll0[rel_] = (uint8_t)ll0_;
+                        mc_->nc[rel_] = -2;   /* uncacheable: re-search */
+                    }
+                }
+            }
             if (DBG_POS(pos >= g_dbg_pos - 16 && pos <= g_dbg_pos)) {
                 fprintf(stderr, "[dbg] pos=%ld cur=%ld ll0=%d rep=%u,%u,%u "
                         "ins_until=%ld nc=%d:", (long)pos, (long)cur,
@@ -1074,6 +1178,12 @@ int64_t zt_opt_parse_ctx(void* vctx,
     if (suff > OPT_CELLS - 128) suff = OPT_CELLS - 128;
 
     OptCtx* X = (OptCtx*)vctx;
+    /* the match cache is armed per (ctx, block) by zt_opt_ctx_set_mcache;
+     * a stale arming from another block must never be replayed */
+    if (X->mc_mode && X->mc_bs != block_start) {
+        X->mc_mode = 0;
+        X->mc = NULL;
+    }
     if (opt_ctx_ensure(X, base, window_low, block_start, block_end,
                        src_end, hash_log, chain_log, mls, nodes) < 0)
         return -1;

@@ -45,6 +45,8 @@ class BlockCState:
     opt_ctx_b: object = None
     # persistent row-matchfinder tables (pos, tag, head) for levels 5-12
     row_table: object = None
+    # per-block match cache for the iterated keep-min parse (levels 19+)
+    opt_mcache: object = None
 
 
 @dataclasses.dataclass

@@ -281,6 +281,21 @@ def find_sequences_opt_dual(full: np.ndarray, block_start: int,
     args = (full, window_low, block_start, block_end, reps,
             cparams.hash_log, cparams.search_log, cparams.min_match,
             cparams.target_length, cparams.strategy)
+    # per-block match cache (opt-in, ZSTD_TPU_OPT_MCACHE=1): pass 1
+    # records the candidate enumerations; passes 2+ replay them where the
+    # repcode state agrees. Measured: hits skip tree insertions, so later
+    # misses search a thinner tree — ~15% faster re-parses but the
+    # keep-min loses part of its held-out ratio edge (pinned 2M -0.59% ->
+    # -0.24%). Off by default until the insertion-preserving variant
+    # exists; the plumbing stays for experimentation.
+    mcache = None
+    import os as _os
+    if _os.environ.get("ZSTD_TPU_OPT_MCACHE", "") == "1":
+        mcache = getattr(state, "opt_mcache", None)
+        if mcache is None:
+            mcache = nat.opt_mcache()
+            state.opt_mcache = mcache
+    blen = block_end - block_start
     out = []
     prev_ctx = None
     for k in range(n_cand):
@@ -291,6 +306,9 @@ def find_sequences_opt_dual(full: np.ndarray, block_start: int,
             if not nat.opt_ctx_clone(ctx, pool[0], used_hint=block_end):
                 break
             nat.opt_ctx_copy_prices(ctx, prev_ctx)
+        if mcache is not None:
+            nat.opt_set_mcache(ctx, mcache, block_start, blen,
+                               1 if k == 0 else 2)
         res = nat.opt_parse(*args[:5], *args[5:], ctx=ctx)
         if res is None:
             break

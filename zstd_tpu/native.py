@@ -56,6 +56,15 @@ class _Native:
         lib.zt_opt_ctx_new.argtypes = []
         lib.zt_opt_ctx_free.restype = None
         lib.zt_opt_ctx_free.argtypes = [ctypes.c_void_p]
+        if hasattr(lib, "zt_opt_mcache_new"):
+            lib.zt_opt_mcache_new.restype = ctypes.c_void_p
+            lib.zt_opt_mcache_new.argtypes = [ctypes.c_int64]
+            lib.zt_opt_mcache_free.restype = None
+            lib.zt_opt_mcache_free.argtypes = [ctypes.c_void_p]
+            lib.zt_opt_ctx_set_mcache.restype = None
+            lib.zt_opt_ctx_set_mcache.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int]
         lib.zt_opt_ctx_clone.restype = ctypes.c_int
         lib.zt_opt_ctx_clone.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
@@ -660,6 +669,38 @@ class _Native:
                     self.ptr = None
 
         return _OptCtx()
+
+    def opt_mcache(self, cap: int = 1 << 17):
+        """Per-block match cache for the iterated keep-min parse: pass 1
+        records every position's candidate enumeration, later passes
+        replay it when the repcode state matches (freed on GC)."""
+        lib = self._lib
+        if not hasattr(lib, "zt_opt_mcache_new"):
+            return None
+
+        class _MCache:
+            __slots__ = ("ptr",)
+
+            def __init__(self):
+                self.ptr = lib.zt_opt_mcache_new(cap)
+
+            def __del__(self):
+                if self.ptr:
+                    lib.zt_opt_mcache_free(self.ptr)
+                    self.ptr = None
+
+        h = _MCache()
+        return h if h.ptr else None
+
+    def opt_set_mcache(self, ctx, mcache, block_start: int, block_len: int,
+                       mode: int) -> None:
+        """Arm ctx's match cache for one block parse (mode 1 = record,
+        2 = probe, 0 = off)."""
+        if not hasattr(self._lib, "zt_opt_ctx_set_mcache"):
+            return
+        self._lib.zt_opt_ctx_set_mcache(
+            ctx.ptr, mcache.ptr if mcache is not None else None,
+            block_start, block_len, mode if mcache is not None else 0)
 
     def opt_ctx_clone(self, dst, src, used_hint: int = 0) -> bool:
         """Snapshot src's matcher tables + statistics into dst (the
