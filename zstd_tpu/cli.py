@@ -115,10 +115,12 @@ def build_parser(prog: str = "zstd") -> argparse.ArgumentParser:
     p.add_argument("-M", "--memory", type=int, default=None, metavar="#",
                    help="decompression memory limit: <=31 is a windowLog "
                         "cap, larger values are MiB (reference -M#)")
-    p.add_argument("--format", choices=["zstd", "gzip", "xz", "lzma"],
+    p.add_argument("--format", choices=["zstd", "gzip", "xz", "lzma",
+                                        "lz4"],
                    default="zstd",
-                   help="compress to this format (gzip/xz/lzma passthrough "
-                        "codecs; decompression sniffs the magic regardless)")
+                   help="compress to this format (gzip/xz/lzma/lz4 "
+                        "passthrough codecs; decompression sniffs the "
+                        "magic regardless)")
     for lvl in range(1, 23):
         p.add_argument(f"-{lvl}", dest="level", action="store_const",
                        const=lvl, help=argparse.SUPPRESS)
@@ -189,6 +191,9 @@ def _compress_bytes(data: bytes, args) -> bytes:
     if args.format == "gzip":
         import gzip
         return gzip.compress(data, compresslevel=min(max(level, 1), 9))
+    if args.format == "lz4":
+        from .lz4frame import compress_lz4
+        return compress_lz4(data, content_checksum=checksum)
     if args.format in ("xz", "lzma"):
         import lzma
         fmt = lzma.FORMAT_XZ if args.format == "xz" else lzma.FORMAT_ALONE
@@ -259,10 +264,13 @@ def _sniff_passthrough(data: bytes):
         import lzma
         return lzma.decompress(data, format=lzma.FORMAT_ALONE)
     if data[:4] == _LZ4_MAGIC:
-        from .errors import ZstdError, ZstdErrorCode
-        raise ZstdError(ZstdErrorCode.prefix_unknown,
-                        "lz4 passthrough is not supported (no lz4 codec in "
-                        "the environment); decompress with an lz4 tool")
+        from .lz4frame import decompress_lz4
+        parts = []
+        pos = 0
+        while pos < len(data) and data[pos : pos + 4] == _LZ4_MAGIC:
+            content, pos = decompress_lz4(data, pos)
+            parts.append(content)
+        return b"".join(parts)
     return None
 
 
@@ -296,7 +304,8 @@ def _decompress_bytes(data: bytes, args) -> bytes:
     return zstd_tpu.decompress(data, window_log_max=wlog_max)
 
 
-_FMT_SUFFIX = {"zstd": ".zst", "gzip": ".gz", "xz": ".xz", "lzma": ".lzma"}
+_FMT_SUFFIX = {"zstd": ".zst", "gzip": ".gz", "xz": ".xz", "lzma": ".lzma",
+               "lz4": ".lz4"}
 
 
 def _out_name_compress(name: str, fmt: str = "zstd") -> str:
@@ -304,7 +313,7 @@ def _out_name_compress(name: str, fmt: str = "zstd") -> str:
 
 
 def _out_name_decompress(name: str) -> str:
-    for suf in (".zst", ".zstd", ".gz", ".xz", ".lzma"):
+    for suf in (".zst", ".zstd", ".gz", ".xz", ".lzma", ".lz4"):
         if name.endswith(suf):
             return name[: -len(suf)]
     return name + ".out"

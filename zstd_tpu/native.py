@@ -141,6 +141,15 @@ class _Native:
         lib.zt_lazy_fill_long.restype = None
         lib.zt_lazy_fill_long.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int, i32p]
+        if hasattr(lib, "zt_lz4_block_compress"):
+            lib.zt_lz4_block_compress.restype = ctypes.c_int64
+            lib.zt_lz4_block_compress.argtypes = [
+                u8p, ctypes.c_int64, u8p, ctypes.c_int64]
+            lib.zt_lz4_block_decompress.restype = ctypes.c_int64
+            lib.zt_lz4_block_decompress.argtypes = [
+                u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64]
+            lib.zt_xxh32.restype = ctypes.c_uint32
+            lib.zt_xxh32.argtypes = [u8p, ctypes.c_int64, ctypes.c_uint32]
         lib.zt_row_fill.restype = None
         lib.zt_row_fill.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64,
@@ -462,6 +471,50 @@ class _Native:
         self._lib.zt_lazy_fill(
             full.ctypes.data_as(u8p), start, end, hash_log, chain_log, mls,
             head.ctypes.data_as(i32p), chain.ctypes.data_as(i32p))
+
+    def lz4_block_compress(self, data: bytes):
+        """LZ4 block compress (native/lz4.c); None if not compressible."""
+        import numpy as np
+        n = len(data)
+        if n == 0:
+            return None
+        cap = n + n // 128 + 64
+        out = np.empty(cap, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        src = np.frombuffer(data, dtype=np.uint8)
+        r = self._lib.zt_lz4_block_compress(
+            src.ctypes.data_as(u8p), n, out.ctypes.data_as(u8p), cap)
+        if r <= 0:
+            return None
+        return out[:r].tobytes()
+
+    def lz4_block_decompress(self, data: bytes, cap: int, out=None,
+                             start: int = 0):
+        """LZ4 block decompress appended at out[start:]; bytes before
+        `start` serve as match history (block-linked frames). Returns the
+        produced byte count into `out`, or a bytes object when out is
+        None; None on corruption."""
+        import numpy as np
+        ret_bytes = out is None
+        if out is None:
+            out = np.empty(cap, dtype=np.uint8)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        src = np.frombuffer(data, dtype=np.uint8)
+        r = self._lib.zt_lz4_block_decompress(
+            src.ctypes.data_as(u8p) if len(data) else
+            ctypes.cast(None, u8p), len(data),
+            out.ctypes.data_as(u8p), cap, start)
+        if r < 0:
+            return None
+        return out[:r].tobytes() if ret_bytes else int(r)
+
+    def xxh32(self, data: bytes, seed: int = 0) -> int:
+        import numpy as np
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        src = np.frombuffer(data, dtype=np.uint8)
+        return int(self._lib.zt_xxh32(
+            src.ctypes.data_as(u8p) if len(data) else
+            ctypes.cast(None, u8p), len(data), seed))
 
     def row_fill(self, full, start: int, end: int, row_log: int,
                  width_log: int, mls: int, pos_table, tag_table,
