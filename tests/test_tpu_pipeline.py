@@ -98,11 +98,11 @@ def test_pipeline_size_vs_reference_binary(ref, level):
     r = subprocess.run([REF_ZSTD, f"-{level}", "-c"], input=data,
                        capture_output=True, check=True)
     ref_sz = len(r.stdout)
-    # level 1 (fast engine) holds parity headroom; the lazy engine's
-    # depth-3 chain is +3.3% vs the reference's full lazy search today —
-    # ceiling records the measured state (target: 1.02 with a real
-    # row-matcher device engine)
-    limit = 1.02 if level == 1 else 1.04
+    # both engines hold parity headroom: the fast engine at level 1, and
+    # the 8-wide sorted-bucket row engine at level 5 (-1.8% vs the
+    # reference on this corpus — the round-4 loosening to 1.04 is undone,
+    # VERDICT r4 item 4)
+    limit = 1.02
     assert len(blob) <= ref_sz * limit, (
         f"device level {level}: ours {len(blob)} > ref {ref_sz} * {limit} "
         f"(+{100 * (len(blob) / ref_sz - 1):.2f}%)")

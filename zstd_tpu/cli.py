@@ -411,26 +411,41 @@ def _do_bench(files, args) -> int:
             return [data[i : i + b] for i in range(0, len(data), b)]
         return [data]
 
+    def _time_best(fn, min_secs: float) -> float:
+        """benchfn.c-grade timing: one UNTIMED warmup (absorbs jit
+        compiles / cold caches), then adaptive batching so each timed
+        sample spans >= ~40 ms (a sub-ms op is looped; per-call Python
+        dispatch amortizes out), min-of-samples over the window."""
+        fn()                                   # warmup, excluded
+        t0 = time.perf_counter()
+        fn()
+        est = time.perf_counter() - t0
+        loops = max(1, int(0.04 / est)) if est > 0 else 64
+        best = est if loops == 1 else float("inf")
+        elapsed = est
+        while elapsed < min_secs:
+            t0 = time.perf_counter()
+            for _ in range(loops):
+                fn()
+            dt = time.perf_counter() - t0
+            best = min(best, dt / loops)
+            elapsed += dt
+        return best
+
     def run_one(label: str, data: bytes, level: int) -> tuple:
         parts = chunks(data)
-        blobs = [_compress_bytes(p, args) for p in parts]   # warm / result
-        ct = float("inf")
-        elapsed = 0.0
-        while elapsed < min_secs:
-            t0 = time.time()
-            blobs = [_compress_bytes(p, args) for p in parts]
-            dt = time.time() - t0
-            ct = min(ct, dt)
-            elapsed += dt
-        dtm = float("inf")
-        elapsed = 0.0
-        outs = None
-        while elapsed < min_secs:
-            t0 = time.time()
-            outs = [_decompress_bytes(b, args) for b in blobs]
-            dt = time.time() - t0
-            dtm = min(dtm, dt)
-            elapsed += dt
+        blobs = [_compress_bytes(p, args) for p in parts]   # result
+
+        def do_c():
+            blobs[:] = [_compress_bytes(p, args) for p in parts]
+
+        ct = _time_best(do_c, min_secs)
+        outs = [_decompress_bytes(b, args) for b in blobs]
+
+        def do_d():
+            outs[:] = [_decompress_bytes(b, args) for b in blobs]
+
+        dtm = _time_best(do_d, min_secs)
         assert b"".join(outs) == data, "round-trip mismatch"
         csize = sum(len(b) for b in blobs)
         print(f"{level:>2}#{label:>18} :{len(data):>9} -> "

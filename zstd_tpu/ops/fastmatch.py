@@ -104,6 +104,30 @@ def _candidates(h: jax.Array, hash_log: int, valid_len) -> jax.Array:
     return jnp.where(pos < valid_len, cand, -1)
 
 
+def _candidates_row(h: jax.Array, hash_log: int, valid_len,
+                    width: int) -> jax.Array:
+    """Row of the `width` previous same-bucket positions for EVERY
+    position — the TPU-native tag-row (ZSTD_RowFindBestMatch's row of
+    tagged slots, zstd_lazy.c:986). One stable sort groups each hash
+    bucket contiguously with positions ascending, so the k-th previous
+    same-bucket candidate is just the sorted array shifted by k: the
+    whole row costs one sort + `width` vector compares, no pointer
+    chasing. Returns [n, width] candidate positions (-1 = none)."""
+    n = h.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    hv = jnp.where(pos < valid_len, h, jnp.int32(1 << 30))
+    order = jnp.argsort(hv, stable=True).astype(jnp.int32)
+    h_sorted = hv[order]
+    cols = []
+    for k in range(1, width + 1):
+        same = h_sorted[k:] == h_sorted[:-k]
+        prevk = jnp.where(same, order[:-k], -1)
+        ck = jnp.full(n, -1, jnp.int32).at[order[k:]].set(prevk)
+        cols.append(ck)
+    cand = jnp.stack(cols, axis=1)
+    return jnp.where(pos[:, None] < valid_len, cand, -1)
+
+
 def _capped_mlen(tri, b3, cand, valid_len, emit_from):
     """int32[n] in {0, 4, 7, 10, ..., 25}: quantized match length vs cand,
     9 gather passes; i-side reads are static shifted views. 25 covers the
@@ -453,20 +477,19 @@ def extract_block_lazy(block: jax.Array, valid_len, hash_log: int, mls: int,
 
     tri, b3, tri3, b6 = _tri_arrays(block)
     h = _hash_f32(tri, tri3, b3, b6, hash_log, mls)
-    cand1 = _candidates(h, hash_log, valid_len)
-    cand1 = jnp.where(halo_ok | (cand1 >= emit_from), cand1, -1)
-    # second chain on a pure 4-byte hash: the long-hash chain is blind to
-    # 4-5 byte matches whose continuation differs (the host parse gets
-    # ~40% of its sequences from exactly these short near matches)
+    # row of previous same-bucket candidates (the tag-row analog): depth
+    # rows on the mls hash + 2 on a pure 4-byte hash (the long-hash rows
+    # are blind to 4-5 byte matches whose continuation differs — the host
+    # parse gets ~40% of its sequences from exactly these short matches)
+    rows1 = _candidates_row(h, hash_log, valid_len, max(depth, 1))
     h4 = _hash_f32(tri, tri3, b3, b6, hash_log, 4)
-    cand4 = _candidates(h4, hash_log, valid_len)
-    cand4 = jnp.where(halo_ok | (cand4 >= emit_from), cand4, -1)
+    rows4 = _candidates_row(h4, hash_log, valid_len, 2)
+    ef_ok = lambda c: jnp.where(halo_ok | (c >= emit_from), c, -1)
 
-    # depth-k chain walk: candidate k is the k-th previous same-bucket
-    # position; each level is one gather through the exact chain. Selection
-    # is by approximate bit GAIN, not raw length: saved literal bits minus
-    # the sequence's code cost (~8/bit literal, ~10 bit fixed + log2(dist)
-    # offset bits) — the lazy analog of the DP's price model, elementwise
+    # selection is by approximate bit GAIN, not raw length: saved literal
+    # bits minus the sequence's code cost (~8/bit literal, ~10 bit fixed
+    # + log2(dist) offset bits) — the lazy analog of the DP's price
+    # model, elementwise
     def gain_of(ml, cd):
         d = jnp.maximum((pos - cd).astype(jnp.float32), 1.0)
         cost = 8.0 + jnp.ceil(jnp.log2(d + 1.0))
@@ -488,14 +511,10 @@ def extract_block_lazy(block: jax.Array, valid_len, hash_log: int, mls: int,
                 jnp.where(take, cand, best_cand))
 
     st = (best_gain, best_len, best_cand)
-    cand = cand1
-    for _ in range(depth):
-        st = consider(cand, st)
-        cand = jnp.where(cand >= 0, cand1[jnp.maximum(cand, 0)], -1)
-    cand = cand4
-    for _ in range(2):
-        st = consider(cand, st)
-        cand = jnp.where(cand >= 0, cand4[jnp.maximum(cand, 0)], -1)
+    for k in range(rows1.shape[1]):
+        st = consider(ef_ok(rows1[:, k]), st)
+    for k in range(rows4.shape[1]):
+        st = consider(ef_ok(rows4[:, k]), st)
     best_gain, best_len, best_cand = st
 
     mlen = jnp.where(best_gain > 0.0, best_len, 0)

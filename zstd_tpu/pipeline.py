@@ -107,10 +107,13 @@ def _analyze_jit(blocks, valid_lens, hash_log, mls, seq_cap,
         res = extract_batch_pallas(blocks, valid_lens, hash_log, mls, seq_cap)
         lits = res["lits"]
     elif engine == "lazy":
-        # levels 5-12: depth-3 candidate chain + lazy deferral
-        # (zstd_lazy.c row-matcher analog, ops/fastmatch.extract_block_lazy)
+        # levels 5-12: 8-wide sorted-bucket candidate rows + lazy deferral
+        # (zstd_lazy.c row-matcher analog, ops/fastmatch.extract_block_lazy;
+        # width via ZSTD_TPU_DEV_ROW_WIDTH)
         from .ops.fastmatch import extract_batch_lazy
-        res = extract_batch_lazy(blocks, valid_lens, hash_log, mls, seq_cap)
+        depth = int(os.environ.get("ZSTD_TPU_DEV_ROW_WIDTH", "8"))
+        res = extract_batch_lazy(blocks, valid_lens, hash_log, mls, seq_cap,
+                                 depth=depth)
         lits = jnp.take_along_axis(blocks, res["lit_idx"], axis=1)
     elif engine == "xla":
         res = extract_batch(blocks, valid_lens, hash_log, mls, seq_cap)
