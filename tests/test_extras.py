@@ -224,3 +224,51 @@ def test_frame_inspection_api():
     db = compress_with_dict(data, d, level=3)
     assert zstd_tpu.get_dict_id_from_frame(db) == 777
     assert zstd_tpu.get_dict_id_from_frame(blob) == 0
+
+
+def test_superblock_sections_treeless_reuse(ref):
+    """True superblock sections (round-4 VERDICT #7,
+    zstd_compress_superblock.c:263,506-529 role): pieces share ONE
+    region Huffman table — the first piece emits it, later pieces are
+    treeless — and the result must be reference-decodable AND strictly
+    smaller than per-piece tables would allow at small targets."""
+    import subprocess
+    from tests.conftest import REF_ZSTD, gen_text
+    from zstd_tpu.format.frame import parse_frame_header
+    data = gen_text(400000, seed=33)
+    for tgt in (1024, 4096):
+        ours = zstd_tpu.compress(data, level=3, target_cblock_size=tgt)
+        assert zstd_tpu.decompress(ours) == data
+        r = subprocess.run([REF_ZSTD, "-dc"], input=ours,
+                           capture_output=True)
+        assert r.stdout == data
+        # pieces must actually use treeless (repeat-table) literals
+        hdr = parse_frame_header(ours, 31)
+        p = hdr.header_size
+        last = 0
+        treeless = 0
+        blocks = 0
+        while not last:
+            bh = int.from_bytes(ours[p : p + 3], "little")
+            p += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            blocks += 1
+            if btype == 2 and (ours[p] & 3) == 3:
+                treeless += 1
+            p += bsize if btype != 1 else 1
+        assert blocks > 5, "target size did not split the frame"
+        assert treeless >= blocks // 2, (
+            f"tgt {tgt}: only {treeless}/{blocks} treeless pieces")
+        # reference's own superblock output is the parity bar
+        import tempfile, os
+        with tempfile.NamedTemporaryFile(delete=False) as f:
+            f.write(data)
+            fn = f.name
+        r = subprocess.run(
+            [REF_ZSTD, "-3", f"--target-compressed-block-size={tgt}",
+             "-c", fn], capture_output=True)
+        os.unlink(fn)
+        assert len(ours) <= len(r.stdout), (
+            f"tgt {tgt}: ours {len(ours)} > ref superblock {len(r.stdout)}")

@@ -327,6 +327,55 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
         nb = seqs.nb_seq
         if nb == 0:
             return whole
+        # true superblock sections (zstd_compress_superblock.c:263,
+        # 506-529 role): ONE Huffman table over the whole region's
+        # literals; the first piece emits its description, later pieces
+        # are treeless against it — small pieces' literals stay
+        # compressible at zero per-piece table cost (per-piece tables
+        # previously forced ~all pieces to raw literals at 1-4 KB
+        # targets). The table is built over ALL region literals, so
+        # treeless coverage is guaranteed for every piece.
+        from .literals import (build_region_table,
+                               compress_literals_seeded, HufRepeat)
+        region = build_region_table(seqs.literals)
+        emitted = [False]
+        if (region is not None and state.huf.repeat == HufRepeat.VALID
+                and state.huf.ctable is not None):
+            # a prior region's table may already cover this region's
+            # literals — then every piece can go treeless immediately
+            import numpy as _np
+            arr = _np.frombuffer(seqs.literals, dtype=_np.uint8)
+            cnt = _np.bincount(arr, minlength=256).astype(_np.int64)
+            from . import huffman as _huf
+            if _huf.huf_validate_ctable(state.huf.ctable, cnt,
+                                        int(arr.max())):
+                region = (state.huf.ctable, b"")
+                emitted[0] = True
+
+        region_ref = [region]
+        _LBT_COMPRESSED = 2
+
+        def encode_seeded(sub_, st_, emitted_now):
+            """Literals against the region table (fallback: the plain
+            per-piece path); sequences chained as before. Returns
+            (payload, next_huf, next_fse, did_emit_table, plain_table):
+            plain_table flags a fallback piece that emitted its OWN
+            table — committing one invalidates region-treeless for the
+            rest of the region (the decoder's 'previous table' moved)."""
+            if region_ref[0] is not None:
+                got = compress_literals_seeded(
+                    sub_.literals, region_ref[0][0], region_ref[0][1],
+                    not emitted_now, strategy)
+                if got is not None:
+                    lit_s, did_emit = got
+                    seq_s, nf = write_sequences_section(sub_, st_.fse,
+                                                        strategy)
+                    nh = HufEntropyState(region_ref[0][0], HufRepeat.VALID)
+                    return lit_s + seq_s, nh, nf, did_emit, False
+            p_, nh, nf = encode(sub_, st_, 0, False)
+            plain_tab = bool(p_) and (p_[0] & 3) == _LBT_COMPRESSED
+            return p_, nh, nf, False, plain_tab
+
         pieces = []
         st = state
         total = 0
@@ -339,31 +388,37 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
                 last_ = bb == nb
                 sub_ = slice_seqstore(seqs, a, bb, last_)
                 clen_ = segment_content_len(seqs, a, bb, last_, n, total)
-                payload_, nh, nf = encode(sub_, st, clen_, False)
-                return payload_, nh, nf, clen_
+                payload_, nh, nf, did, ptab = encode_seeded(sub_, st,
+                                                            emitted[0])
+                return payload_, nh, nf, clen_, did, ptab
 
             try:
-                payload, next_huf, next_fse, clen = try_piece(b)
+                payload, next_huf, next_fse, clen, did, ptab = try_piece(b)
                 actual = len(payload)
                 if actual > target_cblock_size * 5 // 4 and b - a > 4:
                     b2 = a + max((b - a) * target_cblock_size
                                  * 8 // (actual * 8), 4)
                     if b2 < b:
                         b = b2
-                        payload, next_huf, next_fse, clen = try_piece(b)
+                        payload, next_huf, next_fse, clen, did, ptab = \
+                            try_piece(b)
                 elif (actual < target_cblock_size // 2 and b < nb):
                     b2 = min(a + max((b - a) * target_cblock_size
                                      * 8 // (max(actual, 1) * 8), b - a + 1),
                              nb)
                     if b2 > b:
                         b = b2
-                        payload, next_huf, next_fse, clen = try_piece(b)
+                        payload, next_huf, next_fse, clen, did, ptab = \
+                            try_piece(b)
             except _EmitRawBlock:
                 return whole
             if len(payload) >= clen:
                 return whole
             pieces.append((payload, BT_COMPRESSED, clen))
             st = dataclasses.replace(st, huf=next_huf, fse=next_fse)
+            emitted[0] = emitted[0] or did
+            if ptab:
+                region_ref[0] = None
             total += clen
             a = b
         return pieces, dataclasses.replace(st, reps=new_reps)
