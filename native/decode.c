@@ -599,6 +599,34 @@ static int build_seq_table(FseDT* t, const uint8_t** srcp, const uint8_t* end,
  * with loops only on the long tail (role of ZSTD_execSequence's copy16 +
  * wildcopy split, zstd_decompress_block.c:~1001, done with our own
  * small-offset stride table). */
+/* long-match copy by exponential period doubling: once [0, done) of the
+ * match is written with done a multiple of the offset (the pattern
+ * period), op[done + i] == op[i], so each memcpy doubles the finished
+ * region — a 100 KB match at offset 46 runs at libc-memcpy speed instead
+ * of one stalled 16-byte overlap copy per step (the regime where the
+ * reference's high-ratio frames decode at multi-GB/s). Caller guarantees
+ * ml > prefix, bytes [0, prefix) already written, prefix >= 8. */
+static inline void copy_match_doubling(uint8_t* op, int64_t ml,
+                                       uint32_t offset, int64_t prefix) {
+    if ((int64_t)offset >= ml) {
+        memcpy(op + prefix, op - offset + prefix, ml - prefix);
+        return;
+    }
+    int64_t done;
+    if ((int64_t)offset <= prefix) {
+        done = prefix - (prefix % offset);
+    } else {
+        /* fill the first full period; source is all before the match */
+        memcpy(op + prefix, op - offset + prefix, offset - prefix);
+        done = offset;
+    }
+    while (done < ml) {
+        int64_t chunk = done < ml - done ? done : ml - done;
+        memcpy(op + done, op, chunk);
+        done += chunk;
+    }
+}
+
 static inline __attribute__((always_inline)) int
 exec_seq(uint8_t* dstBase, int64_t* io_out, const uint8_t* lits,
          int64_t* io_litpos, int64_t nlit, uint32_t ll, uint32_t ml,
@@ -626,12 +654,15 @@ exec_seq(uint8_t* dstBase, int64_t* io_out, const uint8_t* lits,
             memcpy(op, mp, 8);
             memcpy(op + 8, mp + 8, 8);
             if (ml > 16) {
-                if (offset >= 16)
+                if (ml > 64) {
+                    copy_match_doubling(op, ml, offset, 16);
+                } else if (offset >= 16) {
                     for (int64_t c = 16; c < ml; c += 16)
                         memcpy(op + c, mp + c, 16);
-                else
+                } else {
                     for (int64_t c = 16; c < ml; c += 8)
                         memcpy(op + c, mp + c, 8);
+                }
             }
         } else {
             /* pattern period < 8: seed 8 bytes byte-wise, then jump the
@@ -643,7 +674,9 @@ exec_seq(uint8_t* dstBase, int64_t* io_out, const uint8_t* lits,
             static const int8_t back8[8] = {0, 8, 8, 9, 8, 10, 12, 14};
             op[0] = mp[0]; op[1] = mp[1]; op[2] = mp[2]; op[3] = mp[3];
             op[4] = mp[4]; op[5] = mp[5]; op[6] = mp[6]; op[7] = mp[7];
-            if (ml > 8) {
+            if (ml > 64) {
+                copy_match_doubling(op, ml, offset, 8);
+            } else if (ml > 8) {
                 const uint8_t* ms = op + 8 - back8[offset];
                 for (int64_t c = 8; c < ml; c += 8)
                     memcpy(op + c, ms + (c - 8), 8);
