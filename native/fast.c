@@ -208,12 +208,19 @@ int64_t zt_fast_parse(const uint8_t* base, int64_t window_low,
            2-way buckets keep older entries reachable, so extra inserts
            buy discovery instead of evicting it) */
         if (ip < block_end - 12) {
-            /* full-density seeding: every interior position enters its
-               bucket, so the table is the dense prev-same-bucket
-               structure (the numpy oracle's candidate model) — on
-               periodic data sparse seeding misses the nearest occurrence
-               and commits far/expensive offsets instead */
-            for (int64_t j = mstart + 1; j < ip; j++) {
+            /* full-density seeding for short/medium matches: every
+               interior position enters its bucket, so the table is the
+               dense prev-same-bucket structure (the numpy oracle's
+               candidate model). Long matches seed at a widening stride
+               instead: dense seeding inside a long match floods every
+               bucket with period-local entries, and on periodic data the
+               NEXT search then only ever finds the short period again —
+               keeping older entries alive is what lets the parse escape
+               to the long period (a 12880-period rotation corpus went
+               595x -> whole-period matches with this; zstd_fast gets the
+               same effect from its sparse end-2/start+1 insertion). */
+            int64_t stride = 1 + (ml >> 9);
+            for (int64_t j = mstart + 1; j < ip; j += stride) {
                 uint32_t hj = hash_mls(base + j, mls, hash_log);
                 table[2 * hj + 1] = table[2 * hj];
                 table[2 * hj] = (int32_t)j;
