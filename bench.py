@@ -39,9 +39,9 @@ def _budget(name, default):
         return float(default)
 
 
-GLOBAL_DEADLINE = _budget("BENCH_DEADLINE", 2500)     # s, whole bench
+GLOBAL_DEADLINE = _budget("BENCH_DEADLINE", 3300)     # s, whole bench
 HOST_BUDGET = _budget("BENCH_HOST_BUDGET", 420)
-DEV_BUDGET = _budget("BENCH_DEV_BUDGET", 700)         # per device leg attempt
+DEV_BUDGET = _budget("BENCH_DEV_BUDGET", 900)         # per device leg attempt
 DEV_ATTEMPTS = int(_budget("BENCH_DEV_ATTEMPTS", 2))
 
 _COMMON = r'''
@@ -108,6 +108,8 @@ hb(f"devices {jax.devices()}")
 from zstd_tpu import pipeline, decompress
 comp = pipeline.TpuCompressor(level=1, checksum=False,
                               batch_blocks=int(os.environ.get("BENCH_BATCH", "8")))
+hb("compiling (cold compiles through the tunnel can take many minutes; "
+   "the on-disk cache makes retries incremental)")
 blob = comp.compress(data[: 1 << 20])   # compile + warm
 hb(f"warmup done -> {len(blob)}")
 assert decompress(blob) == data[: 1 << 20], "round-trip failed"
@@ -188,7 +190,12 @@ emit({"leg": "devdec", "device_decode_mbps": round(dev_e2e, 1),
 
 def _run_leg(name, inner, budget, silence_limit=300):
     """Run one leg in a child under BOTH a hard wall budget and a heartbeat
-    silence limit. Returns the leg's parsed JSON dict or None."""
+    silence limit. Returns the leg's parsed JSON dict or None.
+
+    Device legs pass silence_limit == budget: a cold jit compile through
+    the tunnel is one silent blocking call that can run for many minutes
+    — the wall budget is the real guard there, and the second attempt
+    rides the on-disk compile cache the first one populated."""
     env = dict(os.environ)
     env["ZSTD_TPU_REPO"] = REPO
     print(f"[bench] leg {name} (budget {budget:.0f}s)", file=sys.stderr,
@@ -259,8 +266,9 @@ def main():
             print("[bench] global deadline near; skipping devenc",
                   file=sys.stderr, flush=True)
             break
-        devenc = _run_leg("devenc", _DEVENC_LEG,
-                          min(DEV_BUDGET, _remaining()))
+        budget = min(DEV_BUDGET, _remaining())
+        devenc = _run_leg("devenc", _DEVENC_LEG, budget,
+                          silence_limit=budget)
         if devenc:
             break
     if devenc:
@@ -274,8 +282,9 @@ def main():
             print("[bench] global deadline near; skipping devdec",
                   file=sys.stderr, flush=True)
             break
-        devdec = _run_leg("devdec", _DEVDEC_LEG,
-                          min(DEV_BUDGET, _remaining()))
+        budget = min(DEV_BUDGET, _remaining())
+        devdec = _run_leg("devdec", _DEVDEC_LEG, budget,
+                          silence_limit=budget)
         if devdec:
             break
     if devdec:
