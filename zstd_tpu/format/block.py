@@ -205,6 +205,19 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
             state=state)
         if res is not None:
             return res
+    if (cparams.strategy == 5 and cparams.search_log >= 5
+            and override not in ("dp", "greedy", "chain")):
+        # wide-search lazy2 levels (10-12): shallow btultra DP — the
+        # price-model parse at the level's own narrow search beats the
+        # 512-deep chain walk by 2-4% at the same ~3 MB/s (and holds
+        # <= reference on word-like text where greedy/lazy parsers
+        # over-match). ZSTD_TPU_HOST_PARSER=chain restores deep chains.
+        from .opt import find_sequences_shallow_dp
+        res = find_sequences_shallow_dp(
+            full, block_start, block_end, window_low, state.reps, cparams,
+            state=state)
+        if res is not None:
+            return res
     if (cparams.strategy in (2, 3, 4, 5)
             and override not in ("dp", "greedy")):
         # hash-chain lazy matchfinder (zstd_lazy.c class): default for

@@ -182,6 +182,34 @@ def find_sequences_row(full: np.ndarray, block_start: int,
                           new_reps)
 
 
+def find_sequences_shallow_dp(full: np.ndarray, block_start: int,
+                              block_end: int, window_low: int, reps: tuple,
+                              cparams, state=None,
+                              ) -> tuple[SeqStore, tuple] | None:
+    """Shallow optimal parse for the wide-search lazy2 levels (10-12):
+    the btultra DP (native/opt.c) run with the level's own narrow search
+    (16-32 tree nodes) instead of the 128-node btopt class. The DP's
+    price-model PARSE decisions — not search depth — are what this
+    regime buys: measured -3..-4.4% vs the reference at ~3-4 MB/s where
+    512-deep chain-lazy managed -0.1..-0.5% at the same speed, and it
+    holds ≤ reference on the word-salad corpus class that the
+    greedy/lazy parsers lose (+1.8%)."""
+    nat = get_native()
+    if nat is None or state is None:
+        return None
+    if state.opt_ctx is None:
+        state.opt_ctx = nat.opt_ctx()
+    sl = min(max(cparams.search_log - 1, 3), 5)
+    res = nat.opt_parse(full, window_low, block_start, block_end, reps,
+                        cparams.hash_log, sl,
+                        min(max(cparams.min_match, 4), 6), 32, 8,
+                        ctx=state.opt_ctx)
+    if res is None:
+        return None
+    return _rebuild_store(full, block_start, block_end,
+                          res[0], res[1], res[2], res[3])
+
+
 def find_sequences_chainlazy(full: np.ndarray, block_start: int,
                              block_end: int, window_low: int, reps: tuple,
                              cparams, state=None,
