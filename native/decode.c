@@ -635,6 +635,22 @@ exec_seq(uint8_t* dstBase, int64_t* io_out, const uint8_t* lits,
     int64_t lit_pos = *io_litpos;
     if (lit_pos + ll > nlit) return -1;
     if (out + ll + ml > dstCap) return -1;
+    /* single-branch fast path: the common sequence shape (short literals,
+     * short match, non-overlapping offset, headroom) runs with NO further
+     * branches — two 16B copies and the window check */
+    if (((ll <= 16) & (ml <= 16) & (offset >= 8)
+         & (out + ll + ml + 64 <= dstCap))
+        && out - (int64_t)offset + ll >= windowLow) {
+        uint8_t* op = dstBase + out;
+        memcpy(op, lits + lit_pos, 16);
+        op += ll;
+        const uint8_t* mp = op - offset;
+        memcpy(op, mp, 8);
+        memcpy(op + 8, mp + 8, 8);
+        *io_out = out + ll + ml;
+        *io_litpos = lit_pos + ll;
+        return 0;
+    }
     if (out + ll + ml + 64 <= dstCap) {
         uint8_t* op = dstBase + out;
         const uint8_t* lp = lits + lit_pos;
