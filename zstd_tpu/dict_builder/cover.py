@@ -35,6 +35,25 @@ def _dmer_keys(arr: np.ndarray, d: int) -> np.ndarray:
     return v
 
 
+def _dmer_key_pair(arr: np.ndarray, d: int):
+    """EXACT two-u64 key of every d-mer for d <= 16 (the divsufsort role:
+    the reference suffix-sorts to get collision-free d-mer counts,
+    cover.c:779; a radix pair-sort over (first 8, last d-8 bytes) gives
+    the identical equivalence classes for the COVER d range 6..16
+    without the suffix array)."""
+    n = len(arr) - d + 1
+    if n <= 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z
+    hi = np.zeros(n, dtype=np.uint64)
+    for j in range(min(d, 8)):
+        hi |= arr[j : j + n].astype(np.uint64) << np.uint64(8 * j)
+    lo = np.zeros(n, dtype=np.uint64)
+    for j in range(8, d):
+        lo |= arr[j : j + n].astype(np.uint64) << np.uint64(8 * (j - 8))
+    return hi, lo
+
+
 def train_from_samples_cover(samples: list[bytes],
                              max_dict_size: int = 112640,
                              k: int = 1024, d: int = 8) -> bytes:
@@ -44,13 +63,19 @@ def train_from_samples_cover(samples: list[bytes],
         raise ValueError("no usable training samples")
     arrs = [np.frombuffer(s, dtype=np.uint8) for s in samples]
 
-    # exact global d-mer counts via one sort over all samples
-    keys = np.concatenate([_dmer_keys(a, d) for a in arrs])
+    # exact global d-mer counts via one (pair-)sort over all samples —
+    # collision-free for the whole COVER d range (d <= 16), the quality
+    # contract divsufsort provides in the reference
+    pairs = [_dmer_key_pair(a, d) for a in arrs]
+    keys = np.concatenate([p[0] for p in pairs])
+    keys_lo = np.concatenate([p[1] for p in pairs])
     if len(keys) == 0:
         raise ValueError("samples too small for d")
-    order = np.argsort(keys, kind="stable")
+    order = np.lexsort((keys_lo, keys))
     ks = keys[order]
-    boundary = np.concatenate([[True], ks[1:] != ks[:-1]])
+    ks_lo = keys_lo[order]
+    boundary = np.concatenate(
+        [[True], (ks[1:] != ks[:-1]) | (ks_lo[1:] != ks_lo[:-1])])
     group = np.cumsum(boundary) - 1
     counts_per_group = np.bincount(group)
     freq_sorted = counts_per_group[group]
