@@ -178,6 +178,25 @@ def find_sequences_row(full: np.ndarray, block_start: int,
     if res is None:
         return None
     ll, ob, mb, new_reps = res
+    # over-matching regime detector (the word-salad soft spot): a parse
+    # made of uniformly SHORT fresh matches with ~no repcodes is the one
+    # regime where the greedy/lazy class loses to the reference (+1..3%
+    # measured) — and exactly where the shallow DP wins big (-4%). All
+    # real-content corpora measured sit far from both thresholds
+    # (mean_ml >= 15 or rep share >= 3%), so the ~3x slower DP re-parse
+    # only fires on word-like data. ZSTD_TPU_ROW_NO_DPFALLBACK=1 pins
+    # the row result (for apples-to-apples row benchmarking).
+    nb = len(ll)
+    if (nb > 256 and strat >= 5
+            and _os.environ.get("ZSTD_TPU_ROW_NO_DPFALLBACK", "") != "1"):
+        mean_ml = float(mb.mean()) + 3.0
+        rep_share = float((ob <= 3).mean())
+        if mean_ml < 9.8 and rep_share < 0.003:
+            dp = find_sequences_shallow_dp(
+                full, block_start, block_end, window_low, reps, cparams,
+                state=state)
+            if dp is not None:
+                return dp
     return _rebuild_store(full, block_start, block_end, ll, ob, mb,
                           new_reps)
 
