@@ -154,9 +154,7 @@ def test_fast_negative_heldout_size_le_reference(ref):
 @pytest.mark.parametrize("level", [5, 9])
 def test_row_levels_heldout_size_le_reference(ref, level):
     """Row-matchfinder levels (5-12) held-out gate: size <= the reference
-    on content the row tuning never saw. (Known soft spot, documented in
-    PARITY.md: synthetic uniform word-salad at levels 8-9 runs +1..3%
-    over; real text/code/binary gates strictly here.)"""
+    on content the row tuning never saw."""
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference sources not mounted")
     for name, data in _heldout_corpora().items():
@@ -166,3 +164,25 @@ def test_row_levels_heldout_size_le_reference(ref, level):
         assert len(ours) <= ref_sz, (
             f"{name} level {level}: ours {len(ours)} > ref {ref_sz} "
             f"({(len(ours) - ref_sz) / ref_sz:+.3%})")
+
+
+@pytest.mark.parametrize("level", [8, 9, 10, 12])
+def test_word_salad_size_le_reference(ref, level):
+    """The former levels-8/9 soft spot: uniformly word-like data made the
+    greedy/lazy class over-match (+1..3% vs the reference). The
+    over-matching detector (find_sequences_row -> shallow DP) and the
+    level 10-12 DP routing must keep such corpora AT OR BELOW the
+    reference."""
+    import random
+    rng = random.Random(424242)          # never used for tuning
+    words = ["".join(rng.choice("abcdefghijklmnopqrstuvwxyz")
+                     for _ in range(rng.randint(2, 10)))
+             for _ in range(4000)]
+    data = (" ".join(rng.choice(words)
+                     for _ in range(200000)).encode())[: 1 << 20]
+    ours = zstd_tpu.compress(data, level=level)
+    assert zstd_tpu.decompress(ours) == data
+    ref_sz = _ref_size(data, level)
+    assert len(ours) <= ref_sz, (
+        f"word-salad level {level}: ours {len(ours)} > ref {ref_sz} "
+        f"({(len(ours) - ref_sz) / ref_sz:+.3%})")
