@@ -63,6 +63,15 @@ static long g_dbg_pos = -1;
 #define DBG_POS(cond) 0
 #endif
 static void code_tabs_init(void);
+static int opt_level_67(void) {
+    /* ZT_OPT_L67: pricing mode for the btopt strategies (6-7). The
+     * reference prices btopt in whole bits for decode-speed bias
+     * (zstd_opt.c opt0); fractional pricing measures smaller outputs
+     * here, so it is our default — 0 restores whole-bit parity. */
+    const char* s = getenv("ZT_OPT_L67");
+    return s ? atoi(s) : 2;
+}
+
 static void read_knobs(void) {
     if (g_nodes_mult >= 0) return;
     const char* s;
@@ -1194,7 +1203,7 @@ int64_t zt_opt_parse_ctx(void* vctx,
      * (ZSTD_compressBlock_opt0/opt2 optLevel split). Strategies <= 5 only
      * reach the DP via the ZSTD_TPU_HOST_PARSER=dp override — give them
      * the accurate fractional pricing. */
-    P->opt_level = (strategy == 6 || strategy == 7) ? 0 : 2;
+    P->opt_level = (strategy == 6 || strategy == 7) ? opt_level_67() : 2;
     if (!X->has_stats) {
         if (g_twopass == 2) {
             int64_t seed_end = block_start + (n < 131072 ? n : 131072);

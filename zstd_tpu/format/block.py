@@ -287,7 +287,7 @@ def compress_block_pieces(full, block_start, block_end, window_low, state,
     import os as _os
     from .opt import opt_iter_candidates
     candidates = None
-    if (_SEQ_PRODUCER is None and ldm_ctx is None and strategy >= 9
+    if (_SEQ_PRODUCER is None and ldm_ctx is None and strategy >= 8
             and opt_iter_candidates() != 0
             and _os.environ.get("ZSTD_TPU_HOST_PARSER", "") in ("", "dp")):
         from .opt import find_sequences_opt_dual
