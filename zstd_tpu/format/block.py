@@ -186,19 +186,16 @@ def _find_block_sequences(full, block_start, block_end, window_low, state,
             state=state)
         if res is not None:
             return res
-    if ((cparams.strategy in (3, 4)
+    if ((cparams.strategy in (2, 3, 4)
          or (cparams.strategy == 5 and cparams.search_log <= 4))
             and override not in ("dp", "greedy", "chain")):
         # row matchfinder (zstd_lazy.c:986 ZSTD_RowFindBestMatch role):
-        # default for the greedy/lazy strategies (levels 5-7) and the
-        # narrow-search lazy2 levels (8-9) — tagged rows give the
-        # chain-depth-256 ratio class at hash-probe speed (L5 ~25 MB/s
-        # -1.75%, L9 ~10 MB/s -0.21% vs reference on the pinned corpus).
-        # The wide-search lazy2 levels (10-12, search_log >= 5) stay on
-        # the deep-chain schedule below: the reference uses the stronger
-        # btlazy2 search there and a 64-slot row still loses to a
-        # 512-deep chain walk on ratio. ZSTD_TPU_HOST_PARSER=chain
-        # restores deep chains everywhere.
+        # default for the dfast-class levels (3-4), the greedy/lazy
+        # strategies (levels 5-7), and the narrow-search lazy2 levels
+        # (8-9) — tagged rows give the chain-depth-256 ratio class at
+        # hash-probe speed (L3 ~26-45 MB/s at -3..-13%, L5 ~25-30 MB/s
+        # at -1.7..-5.7%, L9 ~10 MB/s at -0.2..-1.2% vs reference).
+        # ZSTD_TPU_HOST_PARSER=chain restores the chain-lazy route.
         from .opt import find_sequences_row
         res = find_sequences_row(
             full, block_start, block_end, window_low, state.reps, cparams,
