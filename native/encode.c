@@ -278,9 +278,21 @@ int64_t zt_split_points(const uint8_t* base, int64_t bs, int64_t be,
     int64_t segn = 0, k = 0;
     for (int i = 0; i < 64; i++) seg[i] = 0;
     for (int64_t c = 0; c < nch; c++) {
-        for (int i = 0; i < 64; i++) cur[i] = 0;
         const uint8_t* p = base + bs + c * chunk;
-        for (int64_t j = 0; j < chunk; j++) cur[p[j] >> 2]++;
+        /* exact counts (sampling changed split decisions for +0.7%
+         * size); four sub-histograms break the increment dependency
+         * chain so the scan runs ~4 bytes/cycle instead of 1 */
+        int64_t h0[64] = {0}, h1[64] = {0}, h2[64] = {0}, h3[64] = {0};
+        for (int64_t j = 0; j + 4 <= chunk; j += 4) {
+            h0[p[j] >> 2]++;
+            h1[p[j + 1] >> 2]++;
+            h2[p[j + 2] >> 2]++;
+            h3[p[j + 3] >> 2]++;
+        }
+        for (int64_t j = chunk & ~(int64_t)3; j < chunk; j++)
+            h0[p[j] >> 2]++;
+        for (int i = 0; i < 64; i++)
+            cur[i] = h0[i] + h1[i] + h2[i] + h3[i];
         if (c == 0) {
             for (int i = 0; i < 64; i++) seg[i] = cur[i];
             segn = 1;
