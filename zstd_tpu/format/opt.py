@@ -395,8 +395,19 @@ def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
         if state.opt_ctx is None:
             state.opt_ctx = nat.opt_ctx()
         ctx = state.opt_ctx
+    # ladder coherence: levels 10-12's shallow DP runs on their large
+    # hash tables (hash_log 22-23), which out-compressed levels 13-15's
+    # btopt on its clevels hash_log 20 — a user stepping 12 -> 13 must
+    # not get a BIGGER file. Floor the btopt band's table at the lazy2
+    # band's size (the reference keeps monotonicity the same way its
+    # table happens to work out; ours needs the explicit floor).
+    hash_log = cparams.hash_log
+    search_log = cparams.search_log
+    if cparams.strategy in (6, 7, 8) and len(full) >= (1 << 21):
+        hash_log = max(hash_log, min(22, hash_log + 3))
+        search_log = max(search_log, 5)
     res = nat.opt_parse(full, window_low, block_start, block_end, reps,
-                        cparams.hash_log, cparams.search_log,
+                        hash_log, search_log,
                         cparams.min_match, cparams.target_length,
                         cparams.strategy, ctx=ctx)
     if res is None:
