@@ -27,6 +27,10 @@ int64_t zt_fast_parse(const uint8_t*, int64_t, int64_t, int64_t, uint32_t*,
                       int, int, int, int, int32_t*);
 int64_t zt_split_points(const uint8_t*, int64_t, int64_t, int64_t, int64_t,
                         int64_t*, int64_t);
+int64_t zt_row_parse(const uint8_t*, int64_t, int64_t, int64_t, uint32_t*,
+                     int32_t*, int32_t*, int32_t*, int64_t,
+                     int, int, int, int, int, int,
+                     int32_t*, uint8_t*, uint8_t*, int32_t*, int);
 int64_t zt_huf_build_write(const int64_t*, int, int, int32_t*, int32_t*,
                            uint8_t*, int64_t, int64_t*);
 int64_t zt_fse_normalize(const int64_t*, int, int64_t, int, int, int32_t*);
@@ -201,13 +205,19 @@ typedef struct {
 
 /* Compress [start, end) of `base` into concatenated zstd blocks (headers
  * included, final block flagged last). Returns bytes written, or -1
- * (caller falls back to the Python block loop). The hash table
- * (int32[2 << hash_log], -1 filled) persists across calls. */
-int64_t zt_compress_fast_frame(
+ * (caller falls back to the Python block loop). Two parser modes share
+ * the block-emit body: the fast greedy (levels 1-2; `table` =
+ * int32[2 << hash_log], -1 filled, persists across calls) and the row
+ * matchfinder (levels 3-4; row_* tables persist across calls). */
+static int64_t compress_frame_core(
     const uint8_t* base, int64_t start, int64_t end, int64_t window_size,
     int64_t block_size, int hash_log, int accel_log, int mls, int step0,
     int strategy, uint32_t* reps, int32_t* table,
-    uint8_t* out, int64_t out_cap)
+    uint8_t* out, int64_t out_cap,
+    int use_row, int row_log, int width_log, int row_mls,
+    int max_attempts, int defer,
+    int32_t* row_pos, uint8_t* row_tag, uint8_t* row_head,
+    int32_t* tlong, int hlog_long)
 {
     if (block_size > MAX_BLOCK) return -1;
     FastScratch* S = malloc(sizeof(FastScratch));
@@ -235,9 +245,15 @@ int64_t zt_compress_fast_frame(
 
         int64_t nseq = 0;
         if (blen >= 16) {
-            nseq = zt_fast_parse(base, window_low, pos, bend, reps,
-                                 S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
-                                 hash_log, accel_log, mls, step0, table);
+            nseq = use_row
+                ? zt_row_parse(base, window_low, pos, bend, reps,
+                               S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
+                               row_log, width_log, row_mls, max_attempts,
+                               defer, accel_log,
+                               row_pos, row_tag, row_head, tlong, hlog_long)
+                : zt_fast_parse(base, window_low, pos, bend, reps,
+                                S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
+                                hash_log, accel_log, mls, step0, table);
             if (nseq < 0) { free(S); return -1; }
         }
 
@@ -461,4 +477,35 @@ int64_t zt_compress_fast_frame(
     }
     free(S);
     return op - out;
+}
+
+int64_t zt_compress_fast_frame(
+    const uint8_t* base, int64_t start, int64_t end, int64_t window_size,
+    int64_t block_size, int hash_log, int accel_log, int mls, int step0,
+    int strategy, uint32_t* reps, int32_t* table,
+    uint8_t* out, int64_t out_cap)
+{
+    return compress_frame_core(base, start, end, window_size, block_size,
+                               hash_log, accel_log, mls, step0, strategy,
+                               reps, table, out, out_cap,
+                               0, 0, 0, 0, 0, 0,
+                               NULL, NULL, NULL, NULL, 0);
+}
+
+/* row-matchfinder whole-frame path (levels 3-4): one native call per
+ * frame — the Python per-block loop pays ~35% of the encode in glue */
+int64_t zt_compress_row_frame(
+    const uint8_t* base, int64_t start, int64_t end, int64_t window_size,
+    int64_t block_size, int strategy, uint32_t* reps,
+    int row_log, int width_log, int row_mls, int max_attempts, int defer,
+    int32_t* row_pos, uint8_t* row_tag, uint8_t* row_head,
+    int32_t* tlong, int hlog_long,
+    uint8_t* out, int64_t out_cap)
+{
+    return compress_frame_core(base, start, end, window_size, block_size,
+                               0, 8, 0, 0, strategy, reps, NULL,
+                               out, out_cap,
+                               1, row_log, width_log, row_mls,
+                               max_attempts, defer,
+                               row_pos, row_tag, row_head, tlong, hlog_long);
 }

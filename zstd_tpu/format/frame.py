@@ -191,8 +191,10 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
     # cost in glue (the reference's single-pass shape,
     # zstd_compress.c:4527 ZSTD_compress_frameChunk)
     import os as _os
+    from .block import _SEQ_PRODUCER as _seq_prod
     if (cparams.strategy == 1 and not long_mode and not prefix
             and ldm_state is None and not target_cblock_size
+            and _seq_prod is None
             and n >= 128 and not _os.environ.get("ZSTD_TPU_HOST_PARSER")):
         from .opt import get_native
         nat = get_native()
@@ -207,6 +209,40 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),
                 cparams.hash_log, 8, min(max(cparams.min_match, 4), 8),
                 step0, cparams.strategy, table)
+            if blocks is not None:
+                out += blocks
+                if checksum:
+                    out += content_checksum(data).to_bytes(4, "little")
+                from ..trace import GLOBAL_PROGRESSION as _pg
+                _pg.ingested = _pg.consumed = n
+                _pg.produced = _pg.flushed = len(out)
+                return bytes(out)
+
+    # whole-frame row path in C (levels 3-4; native/cblock.c
+    # zt_compress_row_frame): same shape as the fast path above —
+    # one native call runs parse + entropy + block emit for the frame
+    if (cparams.strategy == 2 and not long_mode and not prefix
+        and ldm_state is None and not target_cblock_size
+            and _seq_prod is None
+            and n >= 128 and not _os.environ.get("ZSTD_TPU_HOST_PARSER")):
+        from .opt import get_native
+        nat = get_native()
+        if nat is not None and hasattr(nat._lib, "zt_compress_row_frame"):
+            hash_log = min(max(cparams.hash_log, 14), 24)
+            width_log = 4
+            row_log = hash_log - width_log
+            hlog_long = min(max(cparams.hash_log, 15), 22)
+            mls = min(max(cparams.min_match, 4), 7)
+            pos_t = np.full(1 << hash_log, -1, dtype=np.int32)
+            tag_t = np.zeros(1 << hash_log, dtype=np.uint8)
+            head_t = np.zeros(1 << row_log, dtype=np.uint8)
+            tlong = np.full(2 << hlog_long, -1, dtype=np.int32)
+            blocks = nat.compress_row_frame(
+                np.frombuffer(data, dtype=np.uint8), 0, n,
+                1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),
+                cparams.strategy, row_log, width_log, mls,
+                min(1 << max(cparams.search_log, 3), 1 << width_log),
+                1, pos_t, tag_t, head_t, tlong, hlog_long)
             if blocks is not None:
                 out += blocks
                 if checksum:

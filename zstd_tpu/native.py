@@ -125,6 +125,14 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, u32p, i32p, u8p, ctypes.c_int64]
+        if hasattr(lib, "zt_compress_row_frame"):
+            lib.zt_compress_row_frame.restype = ctypes.c_int64
+            lib.zt_compress_row_frame.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, u32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, i32p, u8p, u8p, i32p, ctypes.c_int,
+                u8p, ctypes.c_int64]
         lib.zt_fse_build_ctable.restype = ctypes.c_int64
         lib.zt_fse_build_ctable.argtypes = [
             i32p, ctypes.c_int, ctypes.c_int, i32p, i64p, i64p]
@@ -270,6 +278,36 @@ class _Native:
             hash_log, accel_log, mls, step0, strategy,
             reps_arr.ctypes.data_as(u32p), table.ctypes.data_as(i32p),
             out.ctypes.data_as(u8p), out_cap)
+        if sz < 0:
+            return None
+        return out[:sz].tobytes()
+
+    def compress_row_frame(self, full, start: int, end: int,
+                           window_size: int, block_size: int,
+                           strategy: int, row_log: int, width_log: int,
+                           mls: int, max_attempts: int, defer: int,
+                           pos_t, tag_t, head_t, tlong, hlog_long: int):
+        """Whole-frame ROW-matchfinder block loop in C (native/cblock.c
+        zt_compress_row_frame): the levels-3/4 analog of
+        compress_fast_frame. Returns concatenated block bytes or None."""
+        import numpy as np
+        if not hasattr(self._lib, "zt_compress_row_frame"):
+            return None
+        n = end - start
+        out_cap = n + n // 2 + 4096
+        out = np.zeros(out_cap, dtype=np.uint8)
+        reps_arr = np.array([1, 4, 8], dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        sz = self._lib.zt_compress_row_frame(
+            full.ctypes.data_as(u8p), start, end, window_size, block_size,
+            strategy, reps_arr.ctypes.data_as(u32p),
+            row_log, width_log, mls, max_attempts, defer,
+            pos_t.ctypes.data_as(i32p), tag_t.ctypes.data_as(u8p),
+            head_t.ctypes.data_as(u8p), tlong.ctypes.data_as(i32p),
+            hlog_long, out.ctypes.data_as(u8p), out_cap)
         if sz < 0:
             return None
         return out[:sz].tobytes()
