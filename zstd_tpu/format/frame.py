@@ -218,10 +218,14 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 _pg.produced = _pg.flushed = len(out)
                 return bytes(out)
 
-    # whole-frame row path in C (levels 3-4; native/cblock.c
+    # whole-frame row path in C (levels 3-7; native/cblock.c
     # zt_compress_row_frame): same shape as the fast path above —
-    # one native call runs parse + entropy + block emit for the frame
-    if (cparams.strategy == 2 and not long_mode and not prefix
+    # one native call runs parse + entropy + block emit for the frame.
+    # Strategies 3-4 (levels 5-7) skip the Python route's seqstore
+    # splitting, which measured worth only 0.1-0.3% there (margins vs
+    # the reference stay at -0.7..-5.7%); strategy 5 keeps the Python
+    # route for the word-salad DP fallback.
+    if (cparams.strategy in (2, 3, 4) and not long_mode and not prefix
         and ldm_state is None and not target_cblock_size
             and _seq_prod is None
             and n >= 128 and not _os.environ.get("ZSTD_TPU_HOST_PARSER")):
@@ -237,12 +241,13 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
             tag_t = np.zeros(1 << hash_log, dtype=np.uint8)
             head_t = np.zeros(1 << row_log, dtype=np.uint8)
             tlong = np.full(2 << hlog_long, -1, dtype=np.int32)
+            defer = min(max(cparams.strategy - 3, 1), 2)
             blocks = nat.compress_row_frame(
                 np.frombuffer(data, dtype=np.uint8), 0, n,
                 1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),
                 cparams.strategy, row_log, width_log, mls,
                 min(1 << max(cparams.search_log, 3), 1 << width_log),
-                1, pos_t, tag_t, head_t, tlong, hlog_long)
+                defer, pos_t, tag_t, head_t, tlong, hlog_long)
             if blocks is not None:
                 out += blocks
                 if checksum:
