@@ -255,6 +255,24 @@ static int64_t compress_frame_core(
                                 S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
                                 hash_log, accel_log, mls, step0, table);
             if (nseq < 0) { free(S); return -1; }
+            /* over-matching detector (lazy2 class): a parse of uniformly
+             * short fresh matches with ~no repcodes is the word-salad
+             * regime where the greedy/lazy class loses to the reference
+             * and the shallow DP wins — abort with -2 so the caller
+             * reroutes the WHOLE frame through the Python path with its
+             * per-block DP fallback (mirrors format/opt.py thresholds:
+             * mean_ml < 9.8, rep share < 0.3%). */
+            if (use_row && strategy >= 5 && nseq > 256) {
+                int64_t mlsum = 0, repn = 0;
+                for (int64_t i = 0; i < nseq; i++) {
+                    mlsum += S->mb[i] + MINMATCH;
+                    repn += (S->ob[i] <= 3);
+                }
+                if (10 * mlsum < 98 * nseq && 1000 * repn < 3 * nseq) {
+                    free(S);
+                    return -2;
+                }
+            }
         }
 
         /* literals assembly + RLE-block detection */

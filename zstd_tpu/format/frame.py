@@ -218,14 +218,17 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 _pg.produced = _pg.flushed = len(out)
                 return bytes(out)
 
-    # whole-frame row path in C (levels 3-7; native/cblock.c
+    # whole-frame row path in C (levels 3-9; native/cblock.c
     # zt_compress_row_frame): same shape as the fast path above —
     # one native call runs parse + entropy + block emit for the frame.
     # Strategies 3-4 (levels 5-7) skip the Python route's seqstore
     # splitting, which measured worth only 0.1-0.3% there (margins vs
-    # the reference stay at -0.7..-5.7%); strategy 5 keeps the Python
-    # route for the word-salad DP fallback.
-    if (cparams.strategy in (2, 3, 4) and not long_mode and not prefix
+    # the reference stay at -0.7..-5.7%). Strategy 5 (levels 8-9)
+    # carries the in-C over-matching detector: a word-salad-shaped
+    # parse aborts the C frame and reroutes below through the Python
+    # path with its per-block shallow-DP fallback.
+    if (cparams.strategy in (2, 3, 4, 5) and cparams.search_log <= 4
+        and not long_mode and not prefix
         and ldm_state is None and not target_cblock_size
             and _seq_prod is None
             and n >= 128 and not _os.environ.get("ZSTD_TPU_HOST_PARSER")):
@@ -233,7 +236,7 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
         nat = get_native()
         if nat is not None and hasattr(nat._lib, "zt_compress_row_frame"):
             hash_log = min(max(cparams.hash_log, 14), 24)
-            width_log = 4
+            width_log = 4 if cparams.strategy < 5 else 5
             row_log = hash_log - width_log
             hlog_long = min(max(cparams.hash_log, 15), 22)
             mls = min(max(cparams.min_match, 4), 7)
@@ -242,12 +245,14 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
             head_t = np.zeros(1 << row_log, dtype=np.uint8)
             tlong = np.full(2 << hlog_long, -1, dtype=np.int32)
             defer = min(max(cparams.strategy - 3, 1), 2)
+            attempts = min(1 << max(cparams.search_log,
+                                    5 if cparams.strategy >= 5 else 3),
+                           1 << width_log)
             blocks = nat.compress_row_frame(
                 np.frombuffer(data, dtype=np.uint8), 0, n,
                 1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),
                 cparams.strategy, row_log, width_log, mls,
-                min(1 << max(cparams.search_log, 3), 1 << width_log),
-                defer, pos_t, tag_t, head_t, tlong, hlog_long)
+                attempts, defer, pos_t, tag_t, head_t, tlong, hlog_long)
             if blocks is not None:
                 out += blocks
                 if checksum:
