@@ -31,6 +31,11 @@ int64_t zt_row_parse(const uint8_t*, int64_t, int64_t, int64_t, uint32_t*,
                      int32_t*, int32_t*, int32_t*, int64_t,
                      int, int, int, int, int, int,
                      int32_t*, uint8_t*, uint8_t*, int32_t*, int);
+void* zt_opt_ctx_new(void);
+void zt_opt_ctx_free(void*);
+int64_t zt_opt_parse_ctx(void*, const uint8_t*, int64_t, int64_t, int64_t,
+                         int64_t, uint32_t*, int32_t*, int32_t*, int32_t*,
+                         int64_t, int, int, int, int, int);
 int64_t zt_huf_build_write(const int64_t*, int, int, int32_t*, int32_t*,
                            uint8_t*, int64_t, int64_t*);
 int64_t zt_fse_normalize(const int64_t*, int, int64_t, int, int, int32_t*);
@@ -222,6 +227,11 @@ static int64_t compress_frame_core(
     if (block_size > MAX_BLOCK) return -1;
     FastScratch* S = malloc(sizeof(FastScratch));
     if (!S) return -1;
+    void* optx = NULL;
+    if (use_row == 2) {
+        optx = zt_opt_ctx_new();
+        if (!optx) { free(S); return -1; }
+    }
     uint8_t* op = out;
     uint8_t* oend = out + out_cap;
     int64_t pos = start;
@@ -241,20 +251,37 @@ static int64_t compress_frame_core(
         int64_t window_low = pos - window_size;
         if (window_low < 0) window_low = 0;
 
-        if (op + 3 + blen + 64 > oend) { free(S); return -1; }
+        if (op + 3 + blen + 64 > oend) {
+            free(S);
+            if (optx) zt_opt_ctx_free(optx);
+            return -1;
+        }
 
         int64_t nseq = 0;
         if (blen >= 16) {
-            nseq = use_row
-                ? zt_row_parse(base, window_low, pos, bend, reps,
-                               S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
-                               row_log, width_log, row_mls, max_attempts,
-                               defer, accel_log,
-                               row_pos, row_tag, row_head, tlong, hlog_long)
-                : zt_fast_parse(base, window_low, pos, bend, reps,
-                                S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
-                                hash_log, accel_log, mls, step0, table);
-            if (nseq < 0) { free(S); return -1; }
+            if (use_row == 2) {
+                /* shallow btultra DP (levels 10-15 class): hash_log /
+                 * search_log arrive pre-floored by the caller; the DP's
+                 * own matcher context persists across the frame */
+                nseq = zt_opt_parse_ctx(optx, base, window_low, pos, bend,
+                                        end, reps, S->ll, S->ob, S->mb,
+                                        MAX_BLOCK / 4 + 16,
+                                        hash_log, max_attempts, row_mls,
+                                        defer, strategy);
+            } else if (use_row == 1) {
+                nseq = zt_row_parse(base, window_low, pos, bend, reps,
+                                    S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
+                                    row_log, width_log, row_mls,
+                                    max_attempts, defer, accel_log,
+                                    row_pos, row_tag, row_head, tlong,
+                                    hlog_long);
+            } else {
+                nseq = zt_fast_parse(base, window_low, pos, bend, reps,
+                                     S->ll, S->ob, S->mb, MAX_BLOCK / 4 + 16,
+                                     hash_log, accel_log, mls, step0,
+                                     table);
+            }
+            if (nseq < 0) { free(S); if (optx) zt_opt_ctx_free(optx); return -1; }
             /* over-matching detector (lazy2 class): a parse of uniformly
              * short fresh matches with ~no repcodes is the word-salad
              * regime where the greedy/lazy class loses to the reference
@@ -270,6 +297,7 @@ static int64_t compress_frame_core(
                 }
                 if (10 * mlsum < 98 * nseq && 1000 * repn < 3 * nseq) {
                     free(S);
+                    if (optx) zt_opt_ctx_free(optx);
                     return -2;
                 }
             }
@@ -436,7 +464,11 @@ static int64_t compress_frame_core(
                                         strategy, of_ctp, h_of, &m_of);
             int l_ml = build_code_table(mlh, 52, 9, 6, ML_DEF_N, 52, nseq,
                                         strategy, ml_ctp, h_ml, &m_ml);
-            if (l_ll < 0 || l_of < 0 || l_ml < 0) { free(S); return -1; }
+            if (l_ll < 0 || l_of < 0 || l_ml < 0) {
+                free(S);
+                if (optx) zt_opt_ctx_free(optx);
+                return -1;
+            }
             /* compression-modes byte: 0 predef, 1 RLE, 2 FSE */
             *sp++ = (uint8_t)((m_ll << 6) | (m_of << 4) | (m_ml << 2));
             memcpy(sp, h_ll, l_ll); sp += l_ll;
@@ -460,7 +492,7 @@ static int64_t compress_frame_core(
                 of_ctp->tlog, of_ctp->st, of_ctp->dnb, of_ctp->dfs,
                 ml_ctp->tlog, ml_ctp->st, ml_ctp->dnb, ml_ctp->dfs,
                 sp, cap_left);
-            if (bl <= 0) { free(S); return -1; }
+            if (bl <= 0) { free(S); if (optx) zt_opt_ctx_free(optx); return -1; }
             sp += bl;
             psize = sp - payload;
         }
@@ -494,6 +526,7 @@ static int64_t compress_frame_core(
         pos = bend;
     }
     free(S);
+    if (optx) zt_opt_ctx_free(optx);
     return op - out;
 }
 
@@ -507,6 +540,23 @@ int64_t zt_compress_fast_frame(
                                hash_log, accel_log, mls, step0, strategy,
                                reps, table, out, out_cap,
                                0, 0, 0, 0, 0, 0,
+                               NULL, NULL, NULL, NULL, 0);
+}
+
+/* shallow-DP whole-frame path (levels 10-15 class): sl/mm/tl arrive in
+ * the max_attempts/row_mls/defer slots of the core (the DP has no row
+ * tables). One native call per frame. */
+int64_t zt_compress_dp_frame(
+    const uint8_t* base, int64_t start, int64_t end, int64_t window_size,
+    int64_t block_size, int strategy, uint32_t* reps,
+    int hash_log, int search_log, int min_match, int target_len,
+    uint8_t* out, int64_t out_cap)
+{
+    return compress_frame_core(base, start, end, window_size, block_size,
+                               hash_log, 8, 0, 0, strategy, reps, NULL,
+                               out, out_cap,
+                               2, 0, 0, min_match,
+                               search_log, target_len,
                                NULL, NULL, NULL, NULL, 0);
 }
 

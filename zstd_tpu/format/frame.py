@@ -262,6 +262,41 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 _pg.produced = _pg.flushed = len(out)
                 return bytes(out)
 
+    # whole-frame shallow-DP path in C (levels 10-15 class: the
+    # wide-search lazy2 + single-pass btopt strategies; keep-min levels
+    # stay on the exact Python sizing). Same ladder floors as
+    # find_sequences_shallow_dp / find_sequences_opt.
+    if (cparams.strategy in (5, 6, 7) and cparams.search_log >= 5
+        and not long_mode and not prefix
+        and ldm_state is None and not target_cblock_size
+            and _seq_prod is None
+            and n >= 128 and not _os.environ.get("ZSTD_TPU_HOST_PARSER")
+            and _os.environ.get("ZSTD_TPU_OPT_ITER", "") != "0"):
+        from .opt import get_native
+        nat = get_native()
+        if nat is not None and hasattr(nat._lib, "zt_compress_dp_frame"):
+            if cparams.strategy == 5:
+                dp_sl = min(max(cparams.search_log - 1, 3), 5)
+                dp_hl = cparams.hash_log
+                dp_tl = 32
+            else:
+                dp_sl = max(cparams.search_log, 5) if n >= (1 << 21)                     else cparams.search_log
+                dp_hl = max(cparams.hash_log, min(22, cparams.hash_log + 3))                     if n >= (1 << 21) else cparams.hash_log
+                dp_tl = cparams.target_length
+            blocks = nat.compress_dp_frame(
+                np.frombuffer(data, dtype=np.uint8), 0, n,
+                1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),
+                8 if cparams.strategy == 5 else cparams.strategy,
+                dp_hl, dp_sl, min(max(cparams.min_match, 4), 6), dp_tl)
+            if blocks is not None:
+                out += blocks
+                if checksum:
+                    out += content_checksum(data).to_bytes(4, "little")
+                from ..trace import GLOBAL_PROGRESSION as _pg
+                _pg.ingested = _pg.consumed = n
+                _pg.produced = _pg.flushed = len(out)
+                return bytes(out)
+
     p0 = len(prefix)
     full = np.frombuffer(prefix + data, dtype=np.uint8)
     window_size = 1 << window_log

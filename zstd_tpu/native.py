@@ -125,6 +125,13 @@ class _Native:
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.c_int, u32p, i32p, u8p, ctypes.c_int64]
+        if hasattr(lib, "zt_compress_dp_frame"):
+            lib.zt_compress_dp_frame.restype = ctypes.c_int64
+            lib.zt_compress_dp_frame.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int, u32p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                u8p, ctypes.c_int64]
         if hasattr(lib, "zt_compress_row_frame"):
             lib.zt_compress_row_frame.restype = ctypes.c_int64
             lib.zt_compress_row_frame.argtypes = [
@@ -277,6 +284,32 @@ class _Native:
             full.ctypes.data_as(u8p), start, end, window_size, block_size,
             hash_log, accel_log, mls, step0, strategy,
             reps_arr.ctypes.data_as(u32p), table.ctypes.data_as(i32p),
+            out.ctypes.data_as(u8p), out_cap)
+        if sz < 0:
+            return None
+        return out[:sz].tobytes()
+
+    def compress_dp_frame(self, full, start: int, end: int,
+                          window_size: int, block_size: int,
+                          strategy: int, hash_log: int, search_log: int,
+                          min_match: int, target_len: int):
+        """Whole-frame shallow-DP block loop in C (native/cblock.c
+        zt_compress_dp_frame; levels 10-15 class). Returns concatenated
+        block bytes or None."""
+        import numpy as np
+        if not hasattr(self._lib, "zt_compress_dp_frame"):
+            return None
+        n = end - start
+        out_cap = n + n // 2 + 4096
+        out = np.zeros(out_cap, dtype=np.uint8)
+        reps_arr = np.array([1, 4, 8], dtype=np.uint32)
+        full = np.ascontiguousarray(full)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        u32p = ctypes.POINTER(ctypes.c_uint32)
+        sz = self._lib.zt_compress_dp_frame(
+            full.ctypes.data_as(u8p), start, end, window_size, block_size,
+            strategy, reps_arr.ctypes.data_as(u32p),
+            hash_log, search_log, min_match, target_len,
             out.ctypes.data_as(u8p), out_cap)
         if sz < 0:
             return None
