@@ -163,6 +163,19 @@ def _split_points(full: np.ndarray, bs: int, be: int,
     return splits
 
 
+def _finish_c_frame(out: bytearray, blocks: bytes, checksum: bool,
+                    data: bytes, n: int) -> bytes:
+    """Shared tail of the whole-frame C paths: append blocks + checksum
+    and record CLI progression."""
+    out += blocks
+    if checksum:
+        out += content_checksum(data).to_bytes(4, "little")
+    from ..trace import GLOBAL_PROGRESSION as _pg
+    _pg.ingested = _pg.consumed = n
+    _pg.produced = _pg.flushed = len(out)
+    return bytes(out)
+
+
 def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                    long_mode: bool = False, prefix: bytes = b"",
                    target_cblock_size: int | None = None,
@@ -210,13 +223,7 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 cparams.hash_log, 8, min(max(cparams.min_match, 4), 8),
                 step0, cparams.strategy, table)
             if blocks is not None:
-                out += blocks
-                if checksum:
-                    out += content_checksum(data).to_bytes(4, "little")
-                from ..trace import GLOBAL_PROGRESSION as _pg
-                _pg.ingested = _pg.consumed = n
-                _pg.produced = _pg.flushed = len(out)
-                return bytes(out)
+                return _finish_c_frame(out, blocks, checksum, data, n)
 
     # whole-frame row path in C (levels 3-9; native/cblock.c
     # zt_compress_row_frame): same shape as the fast path above —
@@ -254,13 +261,7 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 cparams.strategy, row_log, width_log, mls,
                 attempts, defer, pos_t, tag_t, head_t, tlong, hlog_long)
             if blocks is not None:
-                out += blocks
-                if checksum:
-                    out += content_checksum(data).to_bytes(4, "little")
-                from ..trace import GLOBAL_PROGRESSION as _pg
-                _pg.ingested = _pg.consumed = n
-                _pg.produced = _pg.flushed = len(out)
-                return bytes(out)
+                return _finish_c_frame(out, blocks, checksum, data, n)
 
     # whole-frame shallow-DP path in C (levels 10-15 class: the
     # wide-search lazy2 + single-pass btopt strategies; keep-min levels
@@ -289,13 +290,7 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 8 if cparams.strategy == 5 else cparams.strategy,
                 dp_hl, dp_sl, min(max(cparams.min_match, 4), 6), dp_tl)
             if blocks is not None:
-                out += blocks
-                if checksum:
-                    out += content_checksum(data).to_bytes(4, "little")
-                from ..trace import GLOBAL_PROGRESSION as _pg
-                _pg.ingested = _pg.consumed = n
-                _pg.produced = _pg.flushed = len(out)
-                return bytes(out)
+                return _finish_c_frame(out, blocks, checksum, data, n)
 
     p0 = len(prefix)
     full = np.frombuffer(prefix + data, dtype=np.uint8)
