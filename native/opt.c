@@ -72,6 +72,12 @@ static int opt_level_67(void) {
     return s ? atoi(s) : 2;
 }
 
+/* explicit twopass override (small-input seeding portfolio): the env
+ * knobs are latched once per process, so the portfolio needs a setter.
+ * v = -1 restores the env/default value. */
+static int g_twopass_forced = -2;
+void zt_opt_knob_twopass(int v) { g_twopass_forced = v; }
+
 static void read_knobs(void) {
     if (g_nodes_mult >= 0) return;
     const char* s;
@@ -1204,15 +1210,16 @@ int64_t zt_opt_parse_ctx(void* vctx,
      * reach the DP via the ZSTD_TPU_HOST_PARSER=dp override — give them
      * the accurate fractional pricing. */
     P->opt_level = (strategy == 6 || strategy == 7) ? opt_level_67() : 2;
+    int twopass = (g_twopass_forced >= 0) ? g_twopass_forced : g_twopass;
     if (!X->has_stats) {
-        if (g_twopass == 2) {
+        if (twopass == 2) {
             int64_t seed_end = block_start + (n < 131072 ? n : 131072);
             seed_stats(base, block_start, seed_end, window_low, reps, P, 1);
         } else {
             seed_baseline(P, base + block_start, n);
         }
         X->has_stats = 1;
-        if (g_twopass && n >= 16384 && strategy >= 9) {
+        if (twopass && n >= 16384 && strategy >= 9) {
             /* first-block statistics pass: parse the block for real, keep
              * only the histograms, then rewind the matcher and reparse
              * with informed prices (ZSTD_initStats_ultra role — btultra2

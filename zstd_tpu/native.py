@@ -65,6 +65,9 @@ class _Native:
             lib.zt_opt_ctx_set_mcache.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int]
+        if hasattr(lib, "zt_opt_knob_twopass"):
+            lib.zt_opt_knob_twopass.restype = None
+            lib.zt_opt_knob_twopass.argtypes = [ctypes.c_int]
         lib.zt_opt_ctx_clone.restype = ctypes.c_int
         lib.zt_opt_ctx_clone.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
@@ -825,6 +828,11 @@ class _Native:
         self._lib.zt_opt_ctx_set_mcache(
             ctx.ptr, mcache.ptr if mcache is not None else None,
             block_start, block_len, mode if mcache is not None else 0)
+
+    def opt_twopass(self, v: int) -> None:
+        """Force the first-block statistics seeding mode (-1 = default)."""
+        if hasattr(self._lib, "zt_opt_knob_twopass"):
+            self._lib.zt_opt_knob_twopass(v)
 
     def opt_ctx_clone(self, dst, src, used_hint: int = 0) -> bool:
         """Snapshot src's matcher tables + statistics into dst (the
