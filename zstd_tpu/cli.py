@@ -3,8 +3,9 @@
 Parity target: /root/reference/programs/zstdcli.c:831 (operation modes
 compress/decompress/test/bench/train/list, multi-personality names, common
 flags) and fileio.c behaviors (suffix handling, stdout rules, --rm, -f, -k).
-Engine selection: TPU pipeline for compression when a TPU/accelerator backend
-is available (or forced via --engine), host oracle otherwise.
+Engine selection: host C path by default (fastest per machine — see the
+PARITY throughput story); --engine tpu or ZSTD_TPU_ENGINE selects the
+device pipeline (levels 1-2, mesh-scalable).
 """
 
 from __future__ import annotations
