@@ -272,3 +272,24 @@ def test_superblock_sections_treeless_reuse(ref):
         os.unlink(fn)
         assert len(ours) <= len(r.stdout), (
             f"tgt {tgt}: ours {len(ours)} > ref superblock {len(r.stdout)}")
+
+
+def test_host_parser_overrides_roundtrip(ref):
+    """Every ZSTD_TPU_HOST_PARSER override must keep producing valid,
+    reference-decodable frames (the alternates are part of the
+    capability surface, not dead code)."""
+    import os
+    import subprocess
+    from tests.conftest import REF_ZSTD, gen_text, gen_mixed
+    data = gen_text(120000, seed=5) + gen_mixed(60000, seed=6)
+    for mode in ("chain", "dp", "greedy", "fast"):
+        os.environ["ZSTD_TPU_HOST_PARSER"] = mode
+        try:
+            for level in (1, 3, 5, 9):
+                blob = zstd_tpu.compress(data, level=level)
+                assert zstd_tpu.decompress(blob) == data, (mode, level)
+                r = subprocess.run([REF_ZSTD, "-dc"], input=blob,
+                                   capture_output=True)
+                assert r.stdout == data, (mode, level)
+        finally:
+            os.environ.pop("ZSTD_TPU_HOST_PARSER", None)
