@@ -87,3 +87,33 @@ def test_cli_long_and_patch(tmp_path):
                          "--long=22"], input=r.stdout, capture_output=True,
                         env=env)
     assert r2.returncode == 0 and r2.stdout == corpus
+
+
+def test_patch_from_high_level_window_covers_prefix(ref):
+    """Round-5 regression: single-segment frame headers set the decoder's
+    window to the CONTENT size, stranding matches that reach into the
+    --patch-from prefix — level 19's deeper search exposed it (levels
+    3/9 never reached far enough). The header must keep the window
+    descriptor whenever prefix+content exceeds the content size."""
+    import subprocess
+    import tempfile
+    import os
+    from tests.conftest import REF_ZSTD, gen_text
+    old = gen_text(400000, seed=50)
+    new = bytearray(old)
+    for i in range(0, len(new), 9000):
+        new[i : i + 40] = gen_text(40, seed=i)
+    new = bytes(new)
+    with tempfile.NamedTemporaryFile(delete=False) as f:
+        f.write(old)
+        oldf = f.name
+    try:
+        for lvl in (3, 19):
+            blob = zstd_tpu.compress_patch(new, old, level=lvl)
+            assert zstd_tpu.decompress_patch(blob, old) == new
+            r = subprocess.run(
+                [REF_ZSTD, "-d", "--patch-from", oldf, "-c", "--long=30"],
+                input=blob, capture_output=True)
+            assert r.stdout == new, r.stderr[:200]
+    finally:
+        os.unlink(oldf)

@@ -33,10 +33,19 @@ class FrameHeader:
 
 
 def write_frame_header(src_size: int, window_log: int, checksum: bool,
-                       content_size_flag: bool = True, dict_id: int = 0) -> bytes:
-    """ZSTD_writeFrameHeader. src_size is the pledged content size (>= 0)."""
+                       content_size_flag: bool = True, dict_id: int = 0,
+                       window_must_cover: int | None = None) -> bytes:
+    """ZSTD_writeFrameHeader. src_size is the pledged content size (>= 0).
+
+    window_must_cover: minimum window the DECODER must end up with (e.g.
+    prefix + content for --patch-from frames). Single-segment mode sets
+    the decoder's window to the content size, which would strand matches
+    reaching into the prefix — so it is only taken when the content size
+    alone covers the requirement."""
     window_size = 1 << window_log
-    single_segment = content_size_flag and window_size >= src_size
+    need = max(src_size, window_must_cover or 0)
+    single_segment = (content_size_flag and window_size >= src_size
+                      and src_size >= need)
     if content_size_flag:
         fcs_code = (src_size >= 256) + (src_size >= 65536 + 256) + (src_size > 0xFFFFFFFF)
     else:
@@ -190,7 +199,9 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
     building the host LdmState; implies long matching."""
     n = len(data)
     window_log = cparams.window_log
-    out = bytearray(write_frame_header(n, window_log, checksum))
+    out = bytearray(write_frame_header(
+        n, window_log, checksum,
+        window_must_cover=(len(prefix) + n) if prefix else None))
 
     if n == 0:
         out += (1 | (BT_RAW << 1) | (0 << 3)).to_bytes(3, "little")
