@@ -88,7 +88,7 @@ def campaign_core(iters: int, seed: int) -> int:
         kind = int(rng.integers(0, 6))
         n = int(rng.integers(1, 400_000))
         data = _corpus(rng, kind, n)
-        level = int(rng.choice([1, 1, 2, 3, 3, 4, 5, 6, 7, 9, 10, 12]))
+        level = int(rng.choice([1, 1, 2, 3, 3, 4, 5, 6, 7, 9, 10, 12, 17, 19]))
         checksum = bool(rng.integers(2))
         try:
             blob = zstd_tpu.compress(data, level=level, checksum=checksum)
