@@ -1219,7 +1219,7 @@ int64_t zt_opt_parse_ctx(void* vctx,
             seed_baseline(P, base + block_start, n);
         }
         X->has_stats = 1;
-        if (twopass && n >= 16384 && strategy >= 9) {
+        if (twopass && n >= 16384 && strategy >= 6) {
             /* first-block statistics pass: parse the block for real, keep
              * only the histograms, then rewind the matcher and reparse
              * with informed prices (ZSTD_initStats_ultra role — btultra2

@@ -41,7 +41,7 @@ def compress(data: bytes, level: int = 3, checksum: bool = False,
         # (18/32 reference source files at level 19 were a few bytes
         # over the reference before this; large inputs keep the default
         # seeding, which measures better there).
-        if (cparams.strategy >= 9 and len(data) <= 262144
+        if (cparams.strategy >= 6 and len(data) <= 262144
                 and not long_mode and not target_cblock_size):
             from ..native import get_native
             nat = get_native()

@@ -291,10 +291,22 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 dp_sl = min(max(cparams.search_log - 1, 3), 5)
                 dp_hl = cparams.hash_log
                 dp_tl = 32
-            else:
-                dp_sl = max(cparams.search_log, 5) if n >= (1 << 21)                     else cparams.search_log
-                dp_hl = max(cparams.hash_log, min(22, cparams.hash_log + 3))                     if n >= (1 << 21) else cparams.hash_log
+            elif n >= (1 << 21):
+                dp_sl = max(cparams.search_log, 5)
+                dp_hl = max(cparams.hash_log, min(22, cparams.hash_log + 3))
                 dp_tl = cparams.target_length
+            elif n <= 262144:
+                # small-input escalation (mirrors find_sequences_opt /
+                # the keep-min path): the small param class hands this
+                # band a shallow search and a tiny target_length whose
+                # early accepts cost ~10% on 200 KB inputs
+                dp_sl = max(cparams.search_log, 11)
+                dp_hl = cparams.hash_log
+                dp_tl = max(cparams.target_length, 999)
+            else:
+                dp_sl = cparams.search_log
+                dp_hl = cparams.hash_log
+                dp_tl = max(cparams.target_length, 32)
             blocks = nat.compress_dp_frame(
                 np.frombuffer(data, dtype=np.uint8), 0, n,
                 1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),

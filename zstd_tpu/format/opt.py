@@ -403,12 +403,20 @@ def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
     # table happens to work out; ours needs the explicit floor).
     hash_log = cparams.hash_log
     search_log = cparams.search_log
+    target_len = cparams.target_length
     if cparams.strategy in (6, 7, 8) and len(full) >= (1 << 21):
         hash_log = max(hash_log, min(22, hash_log + 3))
         search_log = max(search_log, 5)
+    elif cparams.strategy in (6, 7, 8) and len(full) <= 262144:
+        # small-input escalation (mirrors the keep-min path): the small
+        # param class hands the btopt band a 16-node search that lost
+        # +0.7..+5% to the reference on 200 KB inputs; ultra-class
+        # search costs milliseconds there
+        search_log = max(search_log, 11)
+        target_len = max(target_len, 999)
     res = nat.opt_parse(full, window_low, block_start, block_end, reps,
                         hash_log, search_log,
-                        cparams.min_match, cparams.target_length,
+                        cparams.min_match, target_len,
                         cparams.strategy, ctx=ctx)
     if res is None:
         return find_sequences_lazy(full, block_start, block_end, window_low,
