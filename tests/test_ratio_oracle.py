@@ -236,3 +236,23 @@ def test_reference_files_size_le_reference(ref, level):
         assert len(ours) <= ref_sz, (
             f"{p.split('/')[-1]} level {level}: ours {len(ours)} > "
             f"ref {ref_sz} ({(len(ours) - ref_sz) / ref_sz:+.3%})")
+
+
+def test_small_input_ladder_le_reference(ref):
+    """The 200 KB param class exposed seeding/escalation gaps (round 5):
+    a small text file must be <= the reference at every btopt-band
+    level, and the ladder must not invert by more than noise."""
+    from tests.conftest import gen_text
+    data = gen_text(200000, seed=42)
+    prev = None
+    for level in (9, 11, 12, 13, 14, 16, 17, 19):
+        ours = zstd_tpu.compress(data, level=level)
+        assert zstd_tpu.decompress(ours) == data
+        ref_sz = _ref_size(data, level)
+        assert len(ours) <= ref_sz, (
+            f"level {level}: ours {len(ours)} > ref {ref_sz} "
+            f"({(len(ours) - ref_sz) / ref_sz:+.3%})")
+        if prev is not None:
+            assert len(ours) <= prev * 1.01, (
+                f"ladder inversion at {level}: {len(ours)} > {prev}")
+        prev = len(ours)
