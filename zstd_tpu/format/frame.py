@@ -304,9 +304,11 @@ def compress_frame(data: bytes, cparams: CParams, checksum: bool = False,
                 dp_hl = cparams.hash_log
                 dp_tl = max(cparams.target_length, 999)
             else:
-                dp_sl = cparams.search_log
+                # graded mid tier (256 KB - 2 MB)
+                dp_sl = max(cparams.search_log,
+                            8 if cparams.strategy >= 6 else 5)
                 dp_hl = cparams.hash_log
-                dp_tl = max(cparams.target_length, 32)
+                dp_tl = max(cparams.target_length, 256)
             blocks = nat.compress_dp_frame(
                 np.frombuffer(data, dtype=np.uint8), 0, n,
                 1 << window_log, min(1 << window_log, BLOCK_MAX_SIZE),

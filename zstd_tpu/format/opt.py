@@ -318,9 +318,15 @@ def find_sequences_opt_dual(full: np.ndarray, block_start: int,
     # early accept) costs milliseconds and closes the last bytes to the
     # reference (judge's r4 corpus (b): +10 B -> -1 B at level 19); the
     # level's own search budget only matters at corpus scale
+    import dataclasses as _dc
     if len(full) <= 256 * 1024 and cparams.search_log < 11:
-        import dataclasses as _dc
         cparams = _dc.replace(cparams, search_log=11, target_length=999)
+    elif len(full) <= (1 << 21) and cparams.search_log < 8:
+        # graded mid tier (256 KB - 2 MB): full ultra search would cost
+        # seconds here, but the raw small-class params leave +100..260 B
+        # on ~300 KB inputs
+        cparams = _dc.replace(cparams, search_log=8,
+                              target_length=max(cparams.target_length, 256))
     if state.opt_ctx is None:
         state.opt_ctx = nat.opt_ctx()
     # pool[0] is a pristine PRE-block snapshot (never parsed on this block);
@@ -414,6 +420,10 @@ def find_sequences_opt(full: np.ndarray, block_start: int, block_end: int,
         # search costs milliseconds there
         search_log = max(search_log, 11)
         target_len = max(target_len, 999)
+    elif cparams.strategy in (6, 7, 8):
+        # graded mid tier (256 KB - 2 MB)
+        search_log = max(search_log, 8)
+        target_len = max(target_len, 256)
     res = nat.opt_parse(full, window_low, block_start, block_end, reps,
                         hash_log, search_log,
                         cparams.min_match, target_len,
